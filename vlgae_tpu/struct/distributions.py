@@ -1,0 +1,207 @@
+"""Structured distributions over dependency trees, TPU-native.
+
+Re-designed from the reference distribution wrappers
+(ref: src/model/torch_struct/distributions.py). In JAX, marginals and
+argmax come from ``jax.grad`` of the (semiring) partition -- exactly the
+gradient identities the reference relies on via autograd
+(ref: helpers.py:118-157) -- so there is no Python backtracking anywhere.
+
+Unlike the reference's lazy torch ``Distribution`` objects, these are
+lightweight pytree-friendly wrappers whose methods are pure functions of
+the potentials; everything composes with ``jax.jit`` / ``jax.grad``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import deptree as _deptree
+from . import dmv as _dmv
+from .dmv import HASCHILD, NOCHILD, RIGHT
+from .semirings import (
+    NEGINF,
+    CrossEntropySemiring,
+    EntropySemiring,
+    KLDivergenceSemiring,
+    KMaxSemiring,
+    LogSemiring,
+    MaxSemiring,
+    RiskSemiring,
+    StdSemiring,
+)
+
+
+def dmv_merge(dec, attach, root, one: float = 0.0, zero: float = NEGINF):
+    """Fold root potentials into position 0 (ref: distributions.py:253-265).
+
+    The root token becomes the first token: it attaches exactly one child
+    rightward with valence NOCHILD (score = ``root``), and its own
+    decisions are free.
+
+    Args:
+      dec: ``[B, N, 2, 2, 2]`` per-word decision log-potentials.
+      attach: ``[B, N, N, 2]`` head x child x valence attach log-potentials.
+      root: ``[B, N]`` root-attachment log-potentials.
+
+    Returns:
+      ``(dec_wroot [B, N+1, 2, 2, 2], attach_wroot [B, N+1, N+1, 2])``.
+    """
+    B, N = dec.shape[:2]
+    dt = dec.dtype
+    attach_w = jnp.full((B, N + 1, N + 1, 2), zero, dt)
+    attach_w = attach_w.at[:, 0, 1:, NOCHILD].set(root.astype(dt))
+    attach_w = attach_w.at[:, 1:, 1:, :].set(attach.astype(dt))
+    dec_w = jnp.full((B, N + 1, 2, 2, 2), zero, dt)
+    dec_w = dec_w.at[:, 0, RIGHT, :, :].set(one)
+    dec_w = dec_w.at[:, 1:].set(dec)
+    return dec_w, attach_w
+
+
+class DMV1o:
+    """First-order valence DMV distribution (ref: distributions.py:245-265).
+
+    ``log_potentials`` is the pair ``(dec, attach)`` in merged (with-root)
+    form; see :func:`dmv_merge`.
+    """
+
+    def __init__(self, log_potentials, lengths):
+        self.dec, self.attach = log_potentials
+        self.lengths = lengths
+
+    # -- totals ------------------------------------------------------------
+    @property
+    def partition(self):
+        return _dmv.dmv_partition(self.dec, self.attach, self.lengths, LogSemiring)
+
+    @property
+    def max(self):
+        return _dmv.dmv_partition(self.dec, self.attach, self.lengths, MaxSemiring)
+
+    @property
+    def entropy(self):
+        return _dmv.dmv_partition(
+            self.dec, self.attach, self.lengths, EntropySemiring
+        )
+
+    def cross_entropy(self, other: "DMV1o"):
+        return _dmv.dmv_partition(
+            [self.dec, other.dec],
+            [self.attach, other.attach],
+            self.lengths,
+            CrossEntropySemiring,
+        )
+
+    def kl(self, other: "DMV1o"):
+        return _dmv.dmv_partition(
+            [self.dec, other.dec],
+            [self.attach, other.attach],
+            self.lengths,
+            KLDivergenceSemiring,
+        )
+
+    @property
+    def count(self):
+        ones_d = jnp.where(self.dec <= NEGINF / 2, 0.0, 1.0)
+        ones_a = jnp.where(self.attach <= NEGINF / 2, 0.0, 1.0)
+        return _dmv.dmv_partition(ones_d, ones_a, self.lengths, StdSemiring)
+
+    def kmax(self, k: int):
+        """Scores of the k best trees, ``[k, B]`` (ref: distributions.py:135-144)."""
+        value, _ = _dmv.dmv_inside(
+            self.dec, self.attach, self.lengths, KMaxSemiring(k)
+        )
+        return value
+
+    # -- gradients -----------------------------------------------------------
+    @property
+    def marginals(self):
+        """Attach marginals ``[B, N1, N1, 2]`` (ref: dmv.py:68-69)."""
+        _, a = _dmv.dmv_marginals(self.dec, self.attach, self.lengths, LogSemiring)
+        return a
+
+    @property
+    def marginals_full(self):
+        """(dec, attach) expected counts, as used by the EM E-step."""
+        return _dmv.dmv_marginals(self.dec, self.attach, self.lengths, LogSemiring)
+
+    @property
+    def argmax(self):
+        """Viterbi attach indicators ``[B, N1, N1, 2]``."""
+        _, a = _dmv.dmv_marginals(self.dec, self.attach, self.lengths, MaxSemiring)
+        return a
+
+    @property
+    def argmax_heads(self):
+        """Viterbi head array ``[B, N]`` (1-based heads, 0 = root)."""
+        ind = self.argmax.sum(-1)  # [B, N1, N1]
+        return jnp.argmax(ind[:, :, 1:], axis=1)
+
+
+class DependencyCRF:
+    """Single-root projective dependency CRF (ref: distributions.py:269-298)."""
+
+    def __init__(self, log_potentials, lengths, multiroot: bool = False):
+        if multiroot:
+            raise NotImplementedError(
+                "multiroot=False is the only mode used by the reference "
+                "(ref: deptree.py:26-27)"
+            )
+        self.arc = log_potentials
+        self.lengths = lengths
+
+    @property
+    def partition(self):
+        return _deptree.deptree_partition(self.arc, self.lengths, LogSemiring)
+
+    @property
+    def max(self):
+        return _deptree.deptree_partition(self.arc, self.lengths, MaxSemiring)
+
+    @property
+    def entropy(self):
+        return _deptree.deptree_partition(self.arc, self.lengths, EntropySemiring)
+
+    def cross_entropy(self, other: "DependencyCRF"):
+        return _deptree.deptree_partition(
+            [self.arc, other.arc], self.lengths, CrossEntropySemiring
+        )
+
+    def kl(self, other: "DependencyCRF"):
+        return _deptree.deptree_partition(
+            [self.arc, other.arc], self.lengths, KLDivergenceSemiring
+        )
+
+    def risk(self, cost):
+        return _deptree.deptree_partition(
+            [self.arc, cost], self.lengths, RiskSemiring
+        )
+
+    @property
+    def count(self):
+        ones = jnp.where(self.arc <= NEGINF / 2, 0.0, 1.0)
+        return _deptree.deptree_partition(ones, self.lengths, StdSemiring)
+
+    @property
+    def marginals(self):
+        return _deptree.deptree_marginals(self.arc, self.lengths, LogSemiring)
+
+    @property
+    def argmax(self):
+        return _deptree.deptree_marginals(self.arc, self.lengths, MaxSemiring)
+
+    @property
+    def argmax_heads(self):
+        """Viterbi head array ``[B, N]`` (head of word j at column j+1)."""
+        return jnp.argmax(self.argmax[:, :, 1:], axis=1)
+
+    def log_prob(self, heads):
+        """Log-probability of head sequences ``[B, N]`` (1-based, 0=root)."""
+        B, N1 = self.arc.shape[:2]
+        cols = jnp.arange(1, N1)
+        pos_ok = cols[None, :] <= self.lengths[:, None]
+        score = jnp.take_along_axis(
+            self.arc[:, :, 1:], heads[:, None, :], axis=1
+        )[:, 0]
+        score = jnp.where(pos_ok, score, 0.0).sum(-1)
+        return score - self.partition
