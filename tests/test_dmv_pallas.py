@@ -1,0 +1,76 @@
+"""Pallas DMV kernels (interpret mode) vs the pure-JAX scan fill."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vlgae_tpu.ops import (
+    dmv_max_pallas_interpret,
+    dmv_partition_pallas_interpret,
+)
+from vlgae_tpu.struct import LogSemiring, MaxSemiring, dmv_marginals, dmv_partition
+
+from test_struct_dmv import merged_batch, random_potentials
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    params = [random_potentials(rng, n) for n in (3, 5, 2, 6, 4, 1, 6, 5)]
+    return merged_batch(params)
+
+
+def test_pallas_partition_matches_scan(batch):
+    mdec, mattach, lengths = batch
+    want = np.asarray(dmv_partition(mdec, mattach, lengths, LogSemiring))
+    got = np.asarray(dmv_partition_pallas_interpret(mdec, mattach, lengths))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_max_matches_scan(batch):
+    mdec, mattach, lengths = batch
+    want = np.asarray(dmv_partition(mdec, mattach, lengths, MaxSemiring))
+    got = np.asarray(dmv_max_pallas_interpret(mdec, mattach, lengths))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_marginals_match_scan(batch):
+    mdec, mattach, lengths = batch
+
+    def total_pallas(d, a):
+        return jnp.sum(dmv_partition_pallas_interpret(d, a, lengths))
+
+    gd, ga = jax.grad(total_pallas, argnums=(0, 1))(mdec, mattach)
+    wd, wa = dmv_marginals(mdec, mattach, lengths, LogSemiring)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(wa), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), rtol=1e-3, atol=1e-5)
+
+
+def test_pallas_argmax_matches_scan(batch):
+    mdec, mattach, lengths = batch
+
+    def total_pallas(d, a):
+        return jnp.sum(dmv_max_pallas_interpret(d, a, lengths))
+
+    gd, ga = jax.grad(total_pallas, argnums=(0, 1))(mdec, mattach)
+    wd, wa = dmv_marginals(mdec, mattach, lengths, MaxSemiring)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(wa), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), rtol=1e-3, atol=1e-5)
+
+
+def test_pallas_cotangent_scaling(batch):
+    mdec, mattach, lengths = batch
+    B = mattach.shape[0]
+    weights = jnp.asarray(np.linspace(0.5, 2.0, B))
+
+    def total_pallas(a):
+        return jnp.sum(weights * dmv_partition_pallas_interpret(mdec, a, lengths))
+
+    def total_scan(a):
+        return jnp.sum(weights * dmv_partition(mdec, a, lengths, LogSemiring))
+
+    ga = jax.grad(total_pallas)(mattach)
+    wa = jax.grad(total_scan)(mattach)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(wa), rtol=1e-3, atol=1e-5)

@@ -1,0 +1,508 @@
+"""Pallas TPU kernels for the DMV inside/outside chart fills.
+
+This is the framework's designated native-acceleration point, replacing
+the reference's optional genbmm/pykeops CUDA kernels
+(ref: src/model/torch_struct/semirings/fast_semirings.py, keops.py) with
+kernels designed for the TPU memory hierarchy:
+
+  - The whole O(n^3) chart fill runs in ONE kernel launch per batch tile
+    with all charts resident in VMEM -- the pure-XLA scan writes each
+    diagonal back to HBM, so for the small per-step working sets of this
+    DP the kernel removes essentially all HBM round-trips.
+  - Layout: charts are ``[width, valence, position, batch_tile]``, so the
+    minor-most dims map to (sublanes=positions, lanes=128 sentences). All
+    sentences in a tile share the same control flow; every vector op
+    covers the full lane width.
+  - Diagonal-shifted chart reads/writes (the ``as_strided`` stripe trick
+    of the reference, ref: dmv.py:72-133) are staged through small
+    double-width scratch rows, keeping every chart 8-sublane aligned.
+  - The backward pass is a hand-derived *outside* pass (the adjoint of
+    the inside recursion, processed width-descending), recomputing the
+    inside charts in-kernel rather than staging them through HBM --
+    compute is cheap here, bandwidth is not.
+
+Supports the log semiring (partition/marginals: adjoints accumulate with
+logaddexp; grads are ``exp(inside + outside - logZ)``) and the max
+semiring (Viterbi/argmax: adjoints accumulate with max; grads are
+on-best-path indicators).
+
+Chart semantics match :mod:`vlgae_tpu.struct.dmv` (see its docstring;
+derived from ref: src/model/torch_struct/dmv.py:19-66).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..struct.dmv import GO, HASCHILD, LEFT, NOCHILD, RIGHT, STOP
+from ..struct.semirings import NEGINF
+
+# Tolerance for on-best-path tests in the max-semiring backward.
+_MAX_EPS = 1e-4
+
+BT = 128  # batch tile = lane width
+
+
+def _round8(x):
+    return (x + 7) // 8 * 8
+
+
+def backward_fits_vmem(n1: int) -> bool:
+    """Whether the 8-chart outside kernel fits VMEM at the 128-lane tile."""
+    n1r = _round8(n1)
+    chart = n1 * 2 * n1r * BT * 4
+    total = 12 * chart  # 8 scratch charts + 2 att inputs + 2 grad outputs
+    return total <= 14 * 1024 * 1024
+
+
+def forward_fits_vmem(n1: int) -> bool:
+    n1r = _round8(n1)
+    chart = n1 * 2 * n1r * BT * 4
+    return 6 * chart <= 14 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _shift_read(pad, chart, row, shift, n1r):
+    """Return ``value[:, i, :] = chart[row, :, shift + i, :]`` (width n1r).
+
+    Out-of-range positions read the pad's NEGINF fill; callers mask them.
+    """
+    pad[:, :n1r, :] = chart[row, :, :, :]
+    return pad[:, pl.ds(shift, n1r), :]
+
+
+def _shift_accum(pad, chart, row, shift, value, n1r, plus):
+    """``chart[row, :, shift + i, :] ⊕= value[:, i, :]`` for i in [0, n1r).
+
+    Contributions that would land at columns >= n1r are dropped; they only
+    arise from invalid (masked) positions.
+    """
+    pad[:, :, :] = jnp.full(pad.shape, NEGINF, jnp.float32)
+    pad[:, pl.ds(shift, n1r), :] = value
+    chart[row, :, :, :] = plus(chart[row, :, :, :], pad[:, :n1r, :])
+
+
+# ---------------------------------------------------------------------------
+# forward (inside) fill
+# ---------------------------------------------------------------------------
+
+
+def _inside_fill(n1, n1r, is_max, attL, attR, seedR, seedL, lengths_row,
+                 Cr, Cl, Ir, Il, padA, padB):
+    """Shared inside fill writing the four charts; returns out row [BT]."""
+
+    def plus(a, b):
+        return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
+
+    neg_all = jnp.full((n1, 2, n1r, BT), NEGINF, jnp.float32)
+    Cr[:, :, :, :] = neg_all
+    Cl[:, :, :, :] = neg_all
+    Ir[:, :, :, :] = neg_all
+    Il[:, :, :, :] = neg_all
+    Cr[0, :, :, :] = seedR[:]
+    Cl[0, :, :, :] = seedL[:]
+
+    i_iota = lax.broadcasted_iota(jnp.int32, (n1r, BT), 0)
+    lengths = lengths_row[0, :]  # [BT]
+    out0 = jnp.full((BT,), NEGINF, jnp.float32)
+
+    def w_body(w, out_acc):
+        # ---- incomplete spans (ref: dmv.py:50-56) ----
+        def t_body(t, carry):
+            acc_l, acc_r = carry
+            cl_pair = _shift_read(padA, Cl, w - 1 - t, 1 + t, n1r)
+            cr_nc = Cr[t, NOCHILD, :, :]
+            cr_hc = Cr[t, HASCHILD, :, :]
+            acc_l = plus(acc_l, cr_nc + cl_pair[HASCHILD])
+            acc_r = plus(acc_r, cr_hc + cl_pair[NOCHILD])
+            return acc_l, acc_r
+
+        init = (jnp.full((n1r, BT), NEGINF, jnp.float32),) * 2
+        inner_l, inner_r = lax.fori_loop(0, w, t_body, init)
+
+        valid = (i_iota < n1 - w)[None]  # [1, n1r, BT]
+        il_new = jnp.where(valid, inner_l[None] + attL[w], NEGINF)
+        ir_new = jnp.where(valid, inner_r[None] + attR[w], NEGINF)
+        Il[w, :, :, :] = il_new
+        Ir[w, :, :, :] = ir_new
+
+        # ---- complete spans (ref: dmv.py:58-62) ----
+        def t_body2(t, carry):
+            acc_cl, acc_cr = carry
+            il_wt = _shift_read(padA, Il, w - t, t, n1r)
+            cr_wt = _shift_read(padB, Cr, w - 1 - t, 1 + t, n1r)
+            cl_t = Cl[t, NOCHILD, :, :][None]
+            ir_t1 = Ir[t + 1, :, :, :]
+            acc_cl = plus(acc_cl, il_wt + cl_t)
+            acc_cr = plus(acc_cr, ir_t1 + cr_wt[NOCHILD][None])
+            return acc_cl, acc_cr
+
+        init2 = (jnp.full((2, n1r, BT), NEGINF, jnp.float32),) * 2
+        cl_new, cr_new = lax.fori_loop(0, w, t_body2, init2)
+
+        # single-root constraint (ref: dmv.py:63)
+        root_keep = (i_iota != 0) | (lengths[None, :] == w)
+        cr_new = jnp.where(valid & root_keep[None], cr_new, NEGINF)
+        cl_new = jnp.where(valid, cl_new, NEGINF)
+        Cl[w, :, :, :] = cl_new
+        Cr[w, :, :, :] = cr_new
+
+        # partition readout accumulates when w == length (ref: dmv.py:65)
+        out_acc = jnp.where(lengths == w, cr_new[NOCHILD, 0, :], out_acc)
+        return out_acc
+
+    return lax.fori_loop(1, n1, w_body, out0)
+
+
+def _inside_kernel(n1, n1r, is_max,
+                   attL_ref, attR_ref, seedR_ref, seedL_ref, len_ref,
+                   out_ref, Cr, Cl, Ir, Il, padA, padB):
+    out_ref[0, :] = _inside_fill(
+        n1, n1r, is_max, attL_ref, attR_ref, seedR_ref, seedL_ref,
+        len_ref, Cr, Cl, Ir, Il, padA, padB,
+    )
+
+
+# ---------------------------------------------------------------------------
+# backward (outside) kernel
+# ---------------------------------------------------------------------------
+
+
+def _outside_kernel(n1, n1r, is_max,
+                    attL_ref, attR_ref, seedR_ref, seedL_ref, len_ref,
+                    gout_ref, logz_ref,
+                    gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
+                    Cr, Cl, Ir, Il, OCr, OCl, OIr, OIl, padA, padB, padC):
+    """Outside pass: recompute inside charts, then walk widths downward.
+
+    Adjoints ``O*`` are log-domain outside scores. For the log semiring
+    the gradient of logZ w.r.t. a log-potential is
+    ``exp(inside + outside - logZ)``; for the max semiring it is the
+    on-best-path indicator. The incoming cotangent ``gout`` scales the
+    final gradients.
+    """
+
+    def plus(a, b):
+        return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
+
+    _inside_fill(n1, n1r, is_max, attL_ref, attR_ref, seedR_ref, seedL_ref,
+                 len_ref, Cr, Cl, Ir, Il, padA, padB)
+
+    neg_all = jnp.full((n1, 2, n1r, BT), NEGINF, jnp.float32)
+    OCr[:, :, :, :] = neg_all
+    OCl[:, :, :, :] = neg_all
+    OIr[:, :, :, :] = neg_all
+    OIl[:, :, :, :] = neg_all
+
+    lengths = len_ref[0, :]
+    logz = logz_ref[0, :]  # [BT] total (log partition or max score)
+    gout = gout_ref[0, :]
+    i_iota = lax.broadcasted_iota(jnp.int32, (n1r, BT), 0)
+
+    def grad_of(inside, outside):
+        if is_max:
+            ind = inside + outside >= logz[None, None, :] - _MAX_EPS
+            return jnp.where(ind, 1.0, 0.0) * gout[None, None, :]
+        return (
+            jnp.exp(jnp.minimum(inside + outside - logz[None, None, :], 88.0))
+            * gout[None, None, :]
+        )
+
+    def w_body(wrev, _):
+        w = n1 - 1 - wrev  # descending n1-1 .. 1
+
+        # -- final-cell init: O_Cr[length, 0, NC] = one --------------------
+        at_final = (lengths[None, :] == w) & (i_iota == 0)
+        sel_nc = lax.broadcasted_iota(jnp.int32, (2, n1r, BT), 0) == NOCHILD
+        ocr_w = OCr[w, :, :, :]
+        ocr_w = jnp.where(
+            sel_nc & at_final[None], jnp.maximum(ocr_w, 0.0), ocr_w
+        )
+        OCr[w, :, :, :] = ocr_w
+        ocl_w = OCl[w, :, :, :]
+
+        # ==== adjoints of the complete-span updates at width w ====
+        # Cl[w,i,v] = sum_t Il[w-t,i+t,v] * Cl[t,i,NC]
+        # Cr[w,i,v] = sum_t Ir[t+1,i,v] * Cr[w-1-t,i+1+t,NC]
+        def t_body2(t, _):
+            il_wt = _shift_read(padA, Il, w - t, t, n1r)
+            cr_wt = _shift_read(padB, Cr, w - 1 - t, 1 + t, n1r)
+            cl_t = Cl[t, NOCHILD, :, :][None]
+            ir_t1 = Ir[t + 1, :, :, :]
+            # O_Il[w-t, i+t, v] ⊕= O_Cl[w,i,v] + Cl[t,i,NC]
+            _shift_accum(padC, OIl, w - t, t, ocl_w + cl_t, n1r, plus)
+            # O_Cl[t, i, NC] ⊕= sum_v O_Cl[w,i,v] + Il[w-t,i+t,v]
+            c2 = ocl_w + il_wt
+            c2 = plus(c2[0], c2[1])
+            OCl[t, NOCHILD, :, :] = plus(OCl[t, NOCHILD, :, :], c2)
+            # O_Ir[t+1, i, v] ⊕= O_Cr[w,i,v] + Cr[w-1-t,i+1+t,NC]
+            contrib = ocr_w + cr_wt[NOCHILD][None]
+            OIr[t + 1, :, :, :] = plus(OIr[t + 1, :, :, :], contrib)
+            # O_Cr[w-1-t, i+1+t, NC] ⊕= sum_v O_Cr[w,i,v] + Ir[t+1,i,v]
+            c4 = ocr_w + ir_t1
+            c4 = plus(c4[0], c4[1])
+            pair = jnp.stack([c4, jnp.full_like(c4, NEGINF)])
+            pair = pair if NOCHILD == 0 else jnp.flip(pair, 0)
+            _shift_accum(padC, OCr, w - 1 - t, 1 + t, pair, n1r, plus)
+            return 0
+
+        lax.fori_loop(0, w, t_body2, 0)
+
+        # ==== adjoints of the incomplete-span updates at width w ====
+        # Il[w,i,v] = inner_l[w,i] + attL[w,i,v]
+        oil_w = OIl[w, :, :, :]
+        oir_w = OIr[w, :, :, :]
+        il_w = Il[w, :, :, :]
+        ir_w = Ir[w, :, :, :]
+        gattL_ref[w, :, :, :] = grad_of(il_w, oil_w)
+        gattR_ref[w, :, :, :] = grad_of(ir_w, oir_w)
+
+        tmp_l = oil_w + attL_ref[w]
+        tmp_l = plus(tmp_l[0], tmp_l[1])  # [n1r, BT]
+        tmp_r = oir_w + attR_ref[w]
+        tmp_r = plus(tmp_r[0], tmp_r[1])
+
+        def t_body3(t, _):
+            cl_pair = _shift_read(padA, Cl, w - 1 - t, 1 + t, n1r)
+            cr_nc = Cr[t, NOCHILD, :, :]
+            cr_hc = Cr[t, HASCHILD, :, :]
+            # O_Cr[t, i, NC] ⊕= tmp_l + Cl[w-1-t,i+1+t,HC]
+            OCr[t, NOCHILD, :, :] = plus(
+                OCr[t, NOCHILD, :, :], tmp_l + cl_pair[HASCHILD]
+            )
+            # O_Cr[t, i, HC] ⊕= tmp_r + Cl[w-1-t,i+1+t,NC]
+            OCr[t, HASCHILD, :, :] = plus(
+                OCr[t, HASCHILD, :, :], tmp_r + cl_pair[NOCHILD]
+            )
+            # O_Cl[w-1-t, i+1+t, HC] ⊕= tmp_l + Cr[t,i,NC]
+            # O_Cl[w-1-t, i+1+t, NC] ⊕= tmp_r + Cr[t,i,HC]
+            both = jnp.stack([tmp_l + cr_nc, tmp_r + cr_hc])
+            both = both if HASCHILD == 0 else jnp.flip(both, 0)
+            _shift_accum(padC, OCl, w - 1 - t, 1 + t, both, n1r, plus)
+            return 0
+
+        lax.fori_loop(0, w, t_body3, 0)
+        return 0
+
+    lax.fori_loop(0, n1 - 1, w_body, 0)
+
+    # width-0 rows of the attach grads are never produced by the loop
+    gattL_ref[0, :, :, :] = jnp.zeros((2, n1r, BT), jnp.float32)
+    gattR_ref[0, :, :, :] = jnp.zeros((2, n1r, BT), jnp.float32)
+
+    # seed (STOP decision) gradients at width 0
+    gseedR_ref[:] = grad_of(Cr[0, :, :, :], OCr[0, :, :, :])
+    gseedL_ref[:] = grad_of(Cl[0, :, :, :], OCl[0, :, :, :])
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def _prep_inputs(dec, attach, n1r):
+    """Build diagonal-major attach tables and STOP seeds, batch-last.
+
+    attL[w, v, i, b] = attach[b, i+w, i, v] + dec[b, i+w, LEFT, v, GO]
+    attR[w, v, i, b] = attach[b, i, i+w, v] + dec[b, i, RIGHT, v, GO]
+    seedR[v, i, b]   = dec[b, i, RIGHT, v, STOP]; seedL analogous.
+    The position axis is zero-padded (with NEGINF) to ``n1r``.
+    """
+    B, n1 = attach.shape[:2]
+    att_l = attach + dec[:, :, None, LEFT, :, GO]
+    att_r = attach + dec[:, :, None, RIGHT, :, GO]
+    w_idx = jnp.arange(n1)[:, None]
+    i_idx = jnp.arange(n1)[None, :]
+    h = jnp.minimum(i_idx + w_idx, n1 - 1)
+    valid = ((i_idx + w_idx) <= (n1 - 1))[None, :, :, None]
+    attL = jnp.where(valid, att_l[:, h, i_idx, :], NEGINF)  # [B, w, i, v]
+    attR = jnp.where(valid, att_r[:, i_idx, h, :], NEGINF)
+    attL = jnp.transpose(attL, (1, 3, 2, 0))  # [w, v, i, B]
+    attR = jnp.transpose(attR, (1, 3, 2, 0))
+    seedR = jnp.transpose(dec[:, :, RIGHT, :, STOP], (2, 1, 0))  # [v, i, B]
+    seedL = jnp.transpose(dec[:, :, LEFT, :, STOP], (2, 1, 0))
+    pad_i = [(0, 0), (0, 0), (0, n1r - n1), (0, 0)]
+    attL = jnp.pad(attL, pad_i, constant_values=NEGINF)
+    attR = jnp.pad(attR, pad_i, constant_values=NEGINF)
+    seedR = jnp.pad(seedR, pad_i[1:], constant_values=NEGINF)
+    seedL = jnp.pad(seedL, pad_i[1:], constant_values=NEGINF)
+    return attL, attR, seedR, seedL
+
+
+def _unprep_grads(gattL, gattR, gseedR, gseedL, n1):
+    """Map diagonal-layout grads back to (dec, attach) grads."""
+    # to [B, w, i, v] (trim the position padding)
+    gL = jnp.transpose(gattL[:, :, :n1, :], (3, 0, 2, 1))
+    gR = jnp.transpose(gattR[:, :, :n1, :], (3, 0, 2, 1))
+    B = gL.shape[0]
+    h_idx = jnp.arange(n1)[:, None]
+    c_idx = jnp.arange(n1)[None, :]
+    # left arcs: head h > child c: gL[w=h-c, i=c]
+    wl = jnp.clip(h_idx - c_idx, 0, n1 - 1)
+    g_att_l = jnp.where(
+        (h_idx > c_idx)[None, :, :, None], gL[:, wl, c_idx, :], 0.0
+    )
+    # right arcs: head h < child c: gR[w=c-h, i=h]
+    wr = jnp.clip(c_idx - h_idx, 0, n1 - 1)
+    g_att_r = jnp.where(
+        (h_idx < c_idx)[None, :, :, None], gR[:, wr, h_idx, :], 0.0
+    )
+    g_attach = g_att_l + g_att_r  # [B, h, c, v]
+
+    g_dec = jnp.zeros((B, n1, 2, 2, 2), jnp.float32)
+    g_dec = g_dec.at[:, :, LEFT, :, GO].set(g_att_l.sum(2))
+    g_dec = g_dec.at[:, :, RIGHT, :, GO].set(g_att_r.sum(1))
+    g_dec = g_dec.at[:, :, RIGHT, :, STOP].set(
+        jnp.transpose(gseedR[:, :n1, :], (2, 1, 0))
+    )
+    g_dec = g_dec.at[:, :, LEFT, :, STOP].set(
+        jnp.transpose(gseedL[:, :n1, :], (2, 1, 0))
+    )
+    return g_dec, g_attach
+
+
+def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
+                        interpret):
+    n1, _, n1r, B = attL.shape
+    grid = (B // BT,)
+    chart = lambda: pltpu.VMEM((n1, 2, n1r, BT), jnp.float32)
+    pad = lambda: pltpu.VMEM((2, _round8(n1 + n1r), BT), jnp.float32)
+    kernel = functools.partial(_inside_kernel, n1, n1r, is_max)
+    att_spec = pl.BlockSpec((n1, 2, n1r, BT), lambda g: (0, 0, 0, g),
+                            memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((2, n1r, BT), lambda g: (0, 0, g),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, BT), lambda g: (0, g),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[att_spec, att_spec, seed_spec, seed_spec, row_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        scratch_shapes=[chart(), chart(), chart(), chart(), pad(), pad()],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n1 ** 3 * B,
+            bytes_accessed=(2 * n1 * n1 * 2 + 4 * n1 * 2 + 3) * B * 4,
+            transcendentals=0 if is_max else 6 * n1 ** 3 * B,
+        ),
+    )(attL, attR, seedR, seedL, lengths)
+    return out[0]
+
+
+def _pallas_outside_call(attL, attR, seedR, seedL, lengths, gout, logz, *,
+                         is_max, interpret):
+    n1, _, n1r, B = attL.shape
+    grid = (B // BT,)
+    chart = lambda: pltpu.VMEM((n1, 2, n1r, BT), jnp.float32)
+    pad = lambda: pltpu.VMEM((2, _round8(n1 + n1r), BT), jnp.float32)
+    kernel = functools.partial(_outside_kernel, n1, n1r, is_max)
+    att_spec = pl.BlockSpec((n1, 2, n1r, BT), lambda g: (0, 0, 0, g),
+                            memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((2, n1r, BT), lambda g: (0, 0, g),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, BT), lambda g: (0, g),
+                            memory_space=pltpu.VMEM)
+    gattL, gattR, gseedR, gseedL = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[att_spec, att_spec, seed_spec, seed_spec, row_spec,
+                  row_spec, row_spec],
+        out_specs=(att_spec, att_spec, seed_spec, seed_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
+            jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
+        ),
+        scratch_shapes=[chart() for _ in range(8)] + [pad(), pad(), pad()],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=36 * n1 ** 3 * B,
+            bytes_accessed=(4 * n1 * n1 * 2 + 8 * n1 * 2 + 4) * B * 4,
+            transcendentals=0 if is_max else 18 * n1 ** 3 * B,
+        ),
+    )(attL, attR, seedR, seedL, lengths, gout, logz)
+    return gattL, gattR, gseedR, gseedL
+
+
+def _pad_batch(x, fill):
+    B = x.shape[-1]
+    pad = (-B) % BT
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def _make_dmv_total(is_max: bool, interpret: bool):
+    @jax.custom_vjp
+    def total(dec, attach, lengths):
+        return _fwd(dec, attach, lengths)[0]
+
+    def _fwd(dec, attach, lengths):
+        n1 = attach.shape[1]
+        B = attach.shape[0]
+        n1r = _round8(n1)
+        attL, attR, seedR, seedL = _prep_inputs(
+            dec.astype(jnp.float32), attach.astype(jnp.float32), n1r
+        )
+        lrow = lengths.astype(jnp.int32)[None, :]
+        value = _pallas_inside_call(
+            _pad_batch(attL, NEGINF),
+            _pad_batch(attR, NEGINF),
+            _pad_batch(seedR, NEGINF),
+            _pad_batch(seedL, NEGINF),
+            _pad_batch(lrow, 1),
+            is_max=is_max,
+            interpret=interpret,
+        )[:B]
+        return value, (dec, attach, lengths, value)
+
+    def _bwd(res, g):
+        dec, attach, lengths, value = res
+        n1 = attach.shape[1]
+        B = attach.shape[0]
+        n1r = _round8(n1)
+        attL, attR, seedR, seedL = _prep_inputs(
+            dec.astype(jnp.float32), attach.astype(jnp.float32), n1r
+        )
+        lrow = lengths.astype(jnp.int32)[None, :]
+        gattL, gattR, gseedR, gseedL = _pallas_outside_call(
+            _pad_batch(attL, NEGINF),
+            _pad_batch(attR, NEGINF),
+            _pad_batch(seedR, NEGINF),
+            _pad_batch(seedL, NEGINF),
+            _pad_batch(lrow, 1),
+            _pad_batch(g.astype(jnp.float32)[None, :], 0.0),
+            _pad_batch(value.astype(jnp.float32)[None, :], 0.0),
+            is_max=is_max,
+            interpret=interpret,
+        )
+        g_dec, g_attach = _unprep_grads(
+            gattL[..., :B], gattR[..., :B], gseedR[..., :B],
+            gseedL[..., :B], n1,
+        )
+        return g_dec.astype(dec.dtype), g_attach.astype(attach.dtype), None
+
+    total.defvjp(_fwd, _bwd)
+    return total
+
+
+# Public entry points -------------------------------------------------------
+
+dmv_partition_pallas = _make_dmv_total(is_max=False, interpret=False)
+dmv_max_pallas = _make_dmv_total(is_max=True, interpret=False)
+dmv_partition_pallas_interpret = _make_dmv_total(is_max=False, interpret=True)
+dmv_max_pallas_interpret = _make_dmv_total(is_max=True, interpret=True)
