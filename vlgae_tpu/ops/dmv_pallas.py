@@ -251,9 +251,11 @@ def _outside_kernel(n1, n1r, is_max,
             # O_Cr[w-1-t, i+1+t, NC] ⊕= sum_v O_Cr[w,i,v] + Ir[t+1,i,v]
             c4 = ocr_w + ir_t1
             c4 = plus(c4[0], c4[1])
-            pair = jnp.stack([c4, jnp.full_like(c4, NEGINF)])
-            pair = pair if NOCHILD == 0 else jnp.flip(pair, 0)
-            _shift_accum(padC, OCr, w - 1 - t, 1 + t, pair, n1r, plus)
+            chans = [None, None]
+            chans[NOCHILD] = c4
+            chans[HASCHILD] = jnp.full_like(c4, NEGINF)
+            _shift_accum(padC, OCr, w - 1 - t, 1 + t, jnp.stack(chans),
+                         n1r, plus)
             return 0
 
         lax.fori_loop(0, w, t_body2, 0)
@@ -286,9 +288,11 @@ def _outside_kernel(n1, n1r, is_max,
             )
             # O_Cl[w-1-t, i+1+t, HC] ⊕= tmp_l + Cr[t,i,NC]
             # O_Cl[w-1-t, i+1+t, NC] ⊕= tmp_r + Cr[t,i,HC]
-            both = jnp.stack([tmp_l + cr_nc, tmp_r + cr_hc])
-            both = both if HASCHILD == 0 else jnp.flip(both, 0)
-            _shift_accum(padC, OCl, w - 1 - t, 1 + t, both, n1r, plus)
+            chans = [None, None]
+            chans[HASCHILD] = tmp_l + cr_nc
+            chans[NOCHILD] = tmp_r + cr_hc
+            _shift_accum(padC, OCl, w - 1 - t, 1 + t, jnp.stack(chans),
+                         n1r, plus)
             return 0
 
         lax.fori_loop(0, w, t_body3, 0)
@@ -360,8 +364,10 @@ def _unprep_grads(gattL, gattR, gseedR, gseedL, n1):
     g_attach = g_att_l + g_att_r  # [B, h, c, v]
 
     g_dec = jnp.zeros((B, n1, 2, 2, 2), jnp.float32)
+    # dec[h, dir, v, GO] is shared by every arc of head h in that
+    # direction, so its grad sums the arc grads over the child axis.
     g_dec = g_dec.at[:, :, LEFT, :, GO].set(g_att_l.sum(2))
-    g_dec = g_dec.at[:, :, RIGHT, :, GO].set(g_att_r.sum(1))
+    g_dec = g_dec.at[:, :, RIGHT, :, GO].set(g_att_r.sum(2))
     g_dec = g_dec.at[:, :, RIGHT, :, STOP].set(
         jnp.transpose(gseedR[:, :n1, :], (2, 1, 0))
     )
@@ -391,6 +397,9 @@ def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
         scratch_shapes=[chart(), chart(), chart(), chart(), pad(), pad()],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=12 * n1 ** 3 * B,
@@ -427,6 +436,9 @@ def _pallas_outside_call(attL, attR, seedR, seedL, lengths, gout, logz, *,
             jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
         ),
         scratch_shapes=[chart() for _ in range(8)] + [pad(), pad(), pad()],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=36 * n1 ** 3 * B,
