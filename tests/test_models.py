@@ -1,0 +1,258 @@
+"""Model forward/loss/decode smoke + semantics tests (CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vlgae_tpu.models import (
+    CompositeEmbedding,
+    DependencyBoxRel,
+    DependencyBoxRelConfig,
+    DiscriminativeNDMV,
+    LDNDMVConfig,
+    MLPEncoder,
+    VisBoxRelSimpleEncoder,
+    dmv_model,
+    generate_rule_1o,
+    ldndmv_decode,
+    loss_init_rules,
+    loss_nll,
+)
+from vlgae_tpu.models.embedding import EmbeddingItemCfg
+from vlgae_tpu.struct.alg import istree
+
+import oracles
+
+
+N_TOKEN, N_WORD, N_TAG = 12, 20, 6
+
+
+def make_inputs(rng, B=3, L=6):
+    seq_len = rng.integers(2, L + 1, B)
+    seq_len[0] = L
+    token = np.zeros((B, L), np.int32)
+    word = np.zeros((B, L), np.int32)
+    tag = np.zeros((B, L), np.int32)
+    for b in range(B):
+        n = seq_len[b]
+        token[b, :n] = rng.integers(2, N_TOKEN, n)
+        word[b, :n] = rng.integers(2, N_WORD, n)
+        tag[b, :n] = rng.integers(2, N_TAG, n)
+    return {
+        "token": jnp.asarray(token),
+        "word": jnp.asarray(word),
+        "tag": jnp.asarray(tag),
+        "seq_len": jnp.asarray(seq_len, jnp.int32),
+    }
+
+
+def build_ldndmv():
+    emb = CompositeEmbedding(
+        items=(
+            EmbeddingItemCfg("word_embedding", "word", "static",
+                             n_vocab=N_WORD, embedding_dim=16),
+            EmbeddingItemCfg("tag_embedding", "tag", "static",
+                             n_vocab=N_TAG, embedding_dim=8),
+        ),
+    )
+    enc = MLPEncoder(n_hidden=24)
+    cfg = LDNDMVConfig(
+        context_mode="mean", hidden_size=24, attach_rank=4, dec_rank=4,
+        root_rank=4, root_emb_dim=6, dec_emb_dim=6, n_token=N_TOKEN,
+        n_tag=N_TAG,
+    )
+    token2word = tuple(int(i % N_WORD) for i in range(N_TOKEN))
+    token2tag = tuple(int(i % N_TAG) for i in range(N_TOKEN))
+    return DiscriminativeNDMV(
+        cfg=cfg, embedding=emb, encoder=enc,
+        token2word=token2word, token2tag=token2tag,
+    )
+
+
+@pytest.fixture(scope="module")
+def ldndmv_scores():
+    rng = np.random.default_rng(0)
+    model = build_ldndmv()
+    inputs = make_inputs(rng)
+    params = model.init(jax.random.key(0), inputs)
+    scores = model.apply(params, inputs)
+    return model, params, inputs, scores
+
+
+def test_ldndmv_shapes(ldndmv_scores):
+    _, _, inputs, scores = ldndmv_scores
+    B, L = inputs["token"].shape
+    assert scores["attach"].shape == (B, L, L, 2)
+    assert scores["dec"].shape == (B, L, 2, 2, 2)
+    assert scores["root"].shape == (B, L)
+    assert scores["merged_attach"].shape == (B, L + 1, L + 1, 2)
+    assert scores["merged_dec"].shape == (B, L + 1, 2, 2, 2)
+    # rule tables are normalized log-probs
+    np.testing.assert_allclose(
+        np.exp(scores["attach_rule"]).sum(2), 1.0, rtol=1e-4
+    )
+    np.testing.assert_allclose(np.exp(scores["dec"]).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_ldndmv_loss_and_decode(ldndmv_scores):
+    _, _, inputs, scores = ldndmv_scores
+    total, aux = loss_nll(scores, inputs["seq_len"], viterbi=True)
+    assert np.isfinite(float(total))
+    total2, _ = loss_nll(scores, inputs["seq_len"], viterbi=False)
+    assert float(total2) <= float(total) + 1e-4  # logZ >= max
+    heads = np.asarray(ldndmv_decode(scores, inputs["seq_len"], mbr=False))
+    heads_mbr = np.asarray(ldndmv_decode(scores, inputs["seq_len"], mbr=True))
+    for b in range(heads.shape[0]):
+        n = int(inputs["seq_len"][b])
+        assert istree(list(heads[b, :n]), proj=True)
+        assert istree(list(heads_mbr[b, :n]), proj=True)
+
+
+def test_ldndmv_grads_flow(ldndmv_scores):
+    model, params, inputs, _ = ldndmv_scores
+
+    def loss_fn(p):
+        scores = model.apply(p, inputs)
+        return loss_nll(scores, inputs["seq_len"], viterbi=False)[0]
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(l)) for l in leaves)
+    total_norm = sum(float(jnp.abs(l).sum()) for l in leaves)
+    assert total_norm > 0
+
+
+def test_init_rule_loss(ldndmv_scores):
+    _, _, inputs, scores = ldndmv_scores
+    B, L = inputs["token"].shape
+    gold = {
+        "dec_rule": np.zeros((B, L, 2, 2, 2), np.float32),
+        "attach_rule": np.zeros((B, L, L, 2), np.float32),
+        "root_rule": np.zeros((B, L), np.float32),
+    }
+    for b in range(B):
+        n = int(inputs["seq_len"][b])
+        heads = oracles.all_trees(n).__next__()
+        rules = generate_rule_1o(heads)
+        gold["dec_rule"][b, :n] = rules["dec_rule"]
+        gold["attach_rule"][b, :n, :n] = rules["attach_rule"]
+        gold["root_rule"][b, :n] = rules["root_rule"]
+    gold = {k: jnp.asarray(v) for k, v in gold.items()}
+    # scores['attach'] for init loss uses [B,L,L,2] with valence; the
+    # rule tables index real positions only
+    total, aux = loss_init_rules(scores, gold)
+    assert np.isfinite(float(total))
+
+
+def test_classic_dmv_em_improves_likelihood():
+    rng = np.random.default_rng(1)
+    B, L = 16, 5
+    token = rng.integers(0, 6, (B, L)).astype(np.int32)
+    lengths = np.full(B, L, np.int32)
+    cfg = dmv_model.DMVConfig(init_method="random", n_token=6, smooth=0.1)
+    params = dmv_model.init_params(cfg, seed=3)
+    token_j, len_j = jnp.asarray(token), jnp.asarray(lengths)
+    em = dmv_model.EMAccumulator(smooth=0.1)
+    # first step normalizes the random tables into a proper model; EM
+    # must then (weakly) improve the data log-likelihood
+    nlls = []
+    for _ in range(4):
+        counts = dmv_model.expected_counts(params, token_j, len_j)
+        em.accumulate(counts)
+        params = em.apply(params)
+        nlls.append(float(dmv_model.loss(params, token_j, len_j,
+                                         viterbi=False)[0]))
+    assert nlls[-1] < nlls[0] + 1e-3
+    assert all(b <= a + 0.5 for a, b in zip(nlls, nlls[1:]))
+    heads = np.asarray(dmv_model.decode(params, token_j, len_j, mbr=True))
+    for b in range(B):
+        assert istree(list(heads[b]), proj=True)
+
+
+def build_joint():
+    dep = build_ldndmv()
+    vis = VisBoxRelSimpleEncoder(n_hidden=24, img_feat=True, use_attr=True,
+                                 use_img=False)
+    cfg = DependencyBoxRelConfig(
+        add_rel=True, add_attr=True, add_image=True, match_hidden=16,
+        fuse_num_heads=2,
+    )
+    return DependencyBoxRel(
+        cfg=cfg, dep_cfg=dep.cfg, dependency=dep, vis_encoder=vis,
+        pos_for_obj=(2,), pos_for_rel=(3,), pos_for_attr=(4,),
+    )
+
+
+@pytest.fixture(scope="module")
+def joint_setup():
+    rng = np.random.default_rng(2)
+    model = build_joint()
+    inputs = make_inputs(rng, B=4, L=6)
+    P = 5
+    inputs["vis_box_feat"] = jnp.asarray(
+        rng.standard_normal((4, P, 10)), jnp.float32
+    )
+    inputs["vis_box_mask"] = jnp.asarray(
+        np.tile(np.arange(P) < 4, (4, 1))
+    )
+    inputs["vis_available"] = jnp.ones(4, bool)
+    params = model.init(jax.random.key(0), inputs)
+    out = model.apply(params, inputs)
+    return model, params, inputs, out
+
+
+def test_joint_forward_shapes(joint_setup):
+    model, params, inputs, out = joint_setup
+    B, L = inputs["token"].shape
+    P = inputs["vis_box_feat"].shape[1]
+    n_factors = P + P * P + P + 1  # box + rel + attr + img
+    Q = 2 * (L + 1)  # words + arcs
+    assert out["match_logit"].shape == (B, B, Q, n_factors)
+    assert out["merged_attach"].shape == (B, L + 1, L + 1, 2)
+
+
+def test_joint_loss_and_grads(joint_setup):
+    model, params, inputs, out = joint_setup
+
+    def loss_fn(p):
+        o = model.apply(p, inputs)
+        dep_loss, dep_aux = loss_nll(o, inputs["seq_len"], viterbi=True)
+        total, aux = model.apply(
+            p, o, None, inputs, dep_loss, dep_aux, method=model.loss
+        )
+        return total
+
+    val = loss_fn(params)
+    assert np.isfinite(float(val))
+    g = jax.grad(loss_fn)(params)
+    assert all(
+        np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g)
+    )
+
+
+def test_joint_decode_grounding(joint_setup):
+    model, params, inputs, out = joint_setup
+    dec = model.apply(
+        params, out, inputs, method=model.decode_grounding_device
+    )
+    B, L = inputs["token"].shape
+    Q = 2 * (L + 1)
+    assert dec["txt_to_factor_idx"].shape == (B, Q, 5)
+    assert dec["txt_to_img"].shape == (B, Q)
+    vis_split = tuple(int(s) for s in
+                      np.asarray([5, 25, 5, 1]))
+    txt_mask = np.asarray(out["txt_packed"][1])
+    formatted = model.format_grounding(
+        dec["txt_to_factor_idx"], vis_split,
+        np.asarray(inputs["seq_len"]),
+        [list(range(5))] * B, txt_mask,
+    )
+    assert len(formatted) == B
+    for b, inst in enumerate(formatted):
+        assert len(inst) == int(txt_mask[b].sum())
+        for token_cands in inst:
+            assert len(token_cands) == 5
+            for name, idx in token_cands:
+                assert name in ("obj", "rel", "attr", "img")

@@ -1,0 +1,274 @@
+"""Composite embeddings: static word/tag, variational wrappers, subword BERT.
+
+Re-designed from the reference embedding stack
+(ref: src/model/embedding/): a config-driven list of named embedding
+items, each producing ``[B, L, d]`` (or ``[B, 1, d]``, broadcast over the
+sequence), concatenated after mutually-compensating IndependentDropout.
+
+Differences forced by JAX purity:
+  - The reference's in-place "normalize at begin/epoch/batch" mutation
+    (ref: embedding.py:116-119, fastnlp_embedding.py:29-47) becomes a
+    pure params->params transform (:func:`normalize_embedding_params`)
+    the training loop applies on the configured schedule.
+  - Variational adaptors (VAE/IB, ref: fastnlp_embedding.py:49-81)
+    thread RNG explicitly and return their KL in an aux dict.
+  - The subword (BERT) path keeps tokenization host-side (cached in the
+    dataset as subword ids + first-subword indices, mirroring
+    ref: transformers_embedding.py:31-53) and runs the frozen encoder
+    in-graph so XLA fuses it with the rest of the forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as fnn
+
+from .nn import ScalarMix, independent_dropout, multivariate_kl
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbeddingItemCfg:
+    """One embedding item (ref: embedding.py:42-50)."""
+
+    name: str
+    field: str
+    kind: str  # 'static' | 'transformer'
+    n_vocab: int = 0
+    embedding_dim: int = 100
+    mode: str = "basic"  # 'basic' | 'vae' | 'ib' (ref: fastnlp_embedding.py:49)
+    out_dim: int = 0  # variational output dim
+    normalize_method: str = "mean+std"
+    normalize_time: str = "nowhere"  # nowhere | begin | epoch | batch
+    # transformer-only
+    model: str = ""
+    n_layers: int = 1
+    n_out: int = 0
+    requires_grad: bool = False
+    pooling: str = "first"  # first | last | mean
+
+    @property
+    def embed_size(self) -> int:
+        if self.mode != "basic":
+            return self.out_dim
+        if self.kind == "transformer":
+            return self.n_out if self.n_out else self.embedding_dim
+        return self.embedding_dim
+
+
+class StaticItem(fnn.Module):
+    """Lookup table, optionally with a variational (VAE/IB) head."""
+
+    cfg: EmbeddingItemCfg
+    pretrained: Optional[np.ndarray] = None
+
+    @fnn.compact
+    def __call__(self, ids, *, deterministic: bool = True):
+        cfg = self.cfg
+        if self.pretrained is not None:
+            init = lambda *_: jnp.asarray(self.pretrained, jnp.float32)
+        else:
+            init = fnn.initializers.normal(stddev=1.0)
+        table = self.param(
+            "embedding", init, (cfg.n_vocab, cfg.embedding_dim)
+        )
+        h = jnp.take(table, ids, axis=0)
+        if cfg.mode == "basic":
+            return h, None
+        mean, lvar = jnp.split(
+            fnn.Dense(2 * cfg.out_dim, name="enc")(h), 2, axis=-1
+        )
+        if deterministic:
+            z = mean
+        else:
+            rng = self.make_rng("sample")
+            z = mean + jnp.exp(0.5 * lvar) * jax.random.normal(rng, mean.shape)
+        if cfg.mode == "ib":
+            tm = self.param(
+                "target_mean", fnn.initializers.zeros_init(), (1, cfg.out_dim)
+            )
+            tl = self.param(
+                "target_lvar", fnn.initializers.zeros_init(), (1, cfg.out_dim)
+            )
+            m = mean.reshape(-1, cfg.out_dim)
+            l = lvar.reshape(-1, cfg.out_dim)
+            kl = multivariate_kl(
+                m, jnp.broadcast_to(tm, m.shape), l, jnp.broadcast_to(tl, l.shape)
+            )
+        else:  # vae
+            kl = -0.5 * jnp.sum(lvar - mean ** 2 - jnp.exp(lvar) + 1)
+        return z, kl
+
+
+class TransformerItem(fnn.Module):
+    """Frozen(-able) BERT-style subword encoder with ScalarMix + pooling.
+
+    Inputs (from the datamodule subword cache):
+      - ``subword``:        [B, S] subword ids
+      - ``subword_mask``:   [B, S] bool
+      - ``subword_first``:  [B, L] index of each word's first subword
+    (ref: transformers_embedding.py:56-168).
+    """
+
+    cfg: EmbeddingItemCfg
+    bert_config: Any = None  # transformers BertConfig
+
+    @fnn.compact
+    def __call__(self, subword, subword_mask, subword_first, *,
+                 deterministic: bool = True):
+        from transformers.models.bert.modeling_flax_bert import FlaxBertModule
+
+        cfg = self.cfg
+        bert = FlaxBertModule(
+            config=self.bert_config, add_pooling_layer=False, name="bert"
+        )
+        out = bert(
+            input_ids=subword,
+            attention_mask=subword_mask.astype(jnp.int32),
+            token_type_ids=jnp.zeros_like(subword),
+            position_ids=jnp.broadcast_to(
+                jnp.arange(subword.shape[1])[None], subword.shape
+            ),
+            head_mask=None,
+            deterministic=True,
+            output_hidden_states=True,
+        )
+        layers = out.hidden_states[-cfg.n_layers:]
+        if cfg.n_layers > 1:
+            h = ScalarMix(n_layers=cfg.n_layers)(
+                list(layers), deterministic=deterministic
+            )
+        else:
+            h = layers[-1]
+        if not cfg.requires_grad:
+            h = jax.lax.stop_gradient(h)
+        # pool subwords -> words (first-subword pooling by default)
+        h_words = jnp.take_along_axis(
+            h, subword_first[..., None].astype(jnp.int32), axis=1
+        )
+        if cfg.n_out:
+            h_words = fnn.Dense(cfg.n_out, name="projection")(h_words)
+        return h_words, None
+
+
+class CompositeEmbedding(fnn.Module):
+    """Concatenation of embedding items with IndependentDropout
+    (ref: embedding.py:53-126)."""
+
+    items: Tuple[EmbeddingItemCfg, ...]
+    dropout: float = 0.0
+    pretrained: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    bert_config: Any = None
+
+    def setup(self):
+        mods = {}
+        for cfg in self.items:
+            if cfg.kind == "transformer":
+                mods[cfg.name] = TransformerItem(
+                    cfg, bert_config=self.bert_config, name=cfg.name
+                )
+            else:
+                mods[cfg.name] = StaticItem(
+                    cfg, pretrained=self.pretrained.get(cfg.name),
+                    name=cfg.name,
+                )
+        self._mods = mods
+
+    @property
+    def embed_size(self) -> int:
+        return sum(cfg.embed_size for cfg in self.items)
+
+    def embed_item(self, name: str, ids):
+        """Embed raw ids with one item's table (used for token_emb)."""
+        for cfg in self.items:
+            if cfg.name == name:
+                return self._mods[name](ids, deterministic=True)[0]
+        raise KeyError(name)
+
+    def __call__(self, inputs: Dict[str, Any], *, deterministic: bool = True):
+        embs, aux = [], {}
+        for cfg in self.items:
+            mod = self._mods[cfg.name]
+            if cfg.kind == "transformer":
+                h, kl = mod(
+                    inputs["subword"], inputs["subword_mask"],
+                    inputs["subword_first"], deterministic=deterministic,
+                )
+            else:
+                h, kl = mod(inputs[cfg.field], deterministic=deterministic)
+            if kl is not None:
+                aux["kl"] = aux.get("kl", 0.0) + kl
+            aux[cfg.name] = h
+            embs.append(h)
+        if self.dropout > 0 and not deterministic:
+            rng = self.make_rng("dropout")
+            embs = independent_dropout(rng, embs, self.dropout, deterministic)
+        seq_len = max(e.shape[1] for e in embs)
+        embs = [
+            jnp.broadcast_to(e, (e.shape[0], seq_len, e.shape[2]))
+            if e.shape[1] == 1 else e
+            for e in embs
+        ]
+        return jnp.concatenate(embs, axis=-1), aux
+
+
+def load_glove(path, vocab, dim: int, lower: bool = True):
+    """Load GloVe-format vectors aligned to ``vocab`` (random for misses).
+
+    Counterpart of fastNLP's StaticEmbedding pretrained loading used by
+    the reference (ref: config/model/embedding/en.yaml glove100).
+    """
+    table = np.random.default_rng(0).normal(
+        0, 1, (len(vocab), dim)
+    ).astype(np.float32)
+    found = 0
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip().split(" ")
+            if len(parts) != dim + 1:
+                continue
+            w = parts[0].lower() if lower else parts[0]
+            if w in vocab:
+                table[vocab[w]] = np.asarray(parts[1:], np.float32)
+                found += 1
+    table[vocab.pad_index] = 0.0
+    return table, found
+
+
+def normalize_embedding_params(params, path: Tuple[str, ...],
+                               method: str = "mean+std"):
+    """Pure re-whitening of one embedding table (ref: embedding.py:155-166).
+
+    ``path``: key path to the table inside ``params``. Row 0 (padding) is
+    excluded from the statistics, matching the reference's start_idx
+    handling (ref: fastnlp_embedding.py:43-47).
+    """
+    def _get(d, p):
+        for k in p:
+            d = d[k]
+        return d
+
+    table = _get(params, path)
+    data = table[1:]
+    mean = data.mean(0, keepdims=True)
+    std = data.std(0, keepdims=True) + 1e-6
+    if method == "mean":
+        data = data - mean
+    elif method == "std":
+        data = data / std
+    elif method == "mean+std":
+        data = (data - mean) / std
+    else:
+        raise ValueError(method)
+    new_table = jnp.concatenate([table[:1], data], 0)
+
+    def _set(d, p, v):
+        if len(p) == 1:
+            return {**d, p[0]: v}
+        return {**d, p[0]: _set(d[p[0]], p[1:], v)}
+
+    return _set(params, path, new_table)

@@ -1,0 +1,464 @@
+"""DependencyBoxRel: the joint vision-language grounding model (VLGAE).
+
+Re-designed from the reference flagship model (ref: src/model/joint.py).
+Strategy groups (language/visual factor modes, fusion, matching loss,
+grounding decode -- ref: joint.py:52-85) are static config strings
+resolved at trace time, so jit sees straight-line code. The batched
+parts of grounding decode (POS priors, heuristics, top-5) are jitted;
+only the final (factor, box-id) formatting is host-side, preserving the
+eval.py-visible output contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from bisect import bisect_left
+from itertools import accumulate
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as fnn
+
+from ..struct import DMV1o
+from ..struct.dmv import dmv_marginals
+from ..struct.semirings import MaxSemiring
+from .ldndmv import DiscriminativeNDMV, LDNDMVConfig
+from .nn import MLP
+
+# POS prior sets (ref: joint.py:29-49)
+OBJ_POS = ["NN", "NNS", "PRP", "NNP", "WDT", "WP", "NNPS"]
+REL_POS = ["IN", "VBZ", "VBG", "VBN", "TO", "VB", "RB", "RP", "VBD", "CC",
+           "VBP", "EX", "POS", "FW", "WRB", "MD", "RBR"]
+ATTR_POS = ["DT", "JJ", "CD", "PRP$", "JJR", "JJS", "PDT"]
+
+INF = 1e9  # mask fill (ref: src/__init__.py:110 INF)
+
+
+@dataclasses.dataclass(frozen=True)
+class DependencyBoxRelConfig:
+    """(ref: joint.py:52-85)"""
+
+    add_rel: bool = True
+    add_attr: bool = True
+    add_image: bool = True
+    add_marginal: bool = True
+    margin: float = 1.0
+    language_factor_mode: str = "word+maxdep"  # word | word+maxdep
+    visual_factor_mode: str = "unprune"
+    match_hidden: int = 128
+    feat_fuse_mode: str = "attention"  # none | attention
+    fuse_num_heads: int = 4
+    fuse_dropout: float = 0.33
+    fuse_replace: bool = False
+    fuse_aug_with_matching: bool = True
+    gather_logit_mode: str = "simple"  # simple | reduced
+    loss_grounding_mode: str = "factor|ce"  # factor|ce | cap_img|ce
+    loss_use_pos_prior: bool = True
+    loss_vis2txt: float = 1.0
+    decode_grounding_mode: str = "on_factor"  # on_img | on_factor
+    decode_use_pos_prior: bool = True
+    decode_use_heuristic: bool = True
+    grounding_interpolation: float = 0.5
+    word_encoder_dropout: float = 0.33
+
+
+class DependencyBoxRel(fnn.Module):
+    cfg: DependencyBoxRelConfig
+    dep_cfg: LDNDMVConfig
+    dependency: DiscriminativeNDMV
+    vis_encoder: Any
+    pos_for_obj: Tuple[int, ...] = ()
+    pos_for_rel: Tuple[int, ...] = ()
+    pos_for_attr: Tuple[int, ...] = ()
+
+    @property
+    def vis_factor_names(self):
+        names = ["obj"]
+        if self.cfg.add_rel:
+            names.append("rel")
+        if self.cfg.add_attr:
+            names.append("attr")
+        if self.cfg.add_image:
+            names.append("img")
+        return names
+
+    def setup(self):
+        cfg = self.cfg
+        self.word_encoder = MLP(cfg.match_hidden, cfg.word_encoder_dropout,
+                                activate=False)
+        self.vis_mlp_pre_matching = fnn.Dense(cfg.match_hidden,
+                                              use_bias=False)
+        if cfg.language_factor_mode in ("word+maxdep", "word+alldep"):
+            self.child_encoder = MLP(cfg.match_hidden,
+                                     cfg.word_encoder_dropout, activate=True)
+            self.parent_encoder = MLP(cfg.match_hidden,
+                                      cfg.word_encoder_dropout, activate=True)
+            H = cfg.match_hidden
+            self.arc_encoder_w1 = self.param(
+                "arc_encoder_w1", fnn.initializers.zeros_init(), (H, H, H)
+            )
+            self.arc_encoder_w2 = self.param(
+                "arc_encoder_w2", fnn.initializers.zeros_init(), (H, H)
+            )
+            self.arc_encoder_b = self.param(
+                "arc_encoder_b", fnn.initializers.zeros_init(), (H,)
+            )
+        if cfg.feat_fuse_mode == "attention":
+            self.attention = fnn.MultiHeadDotProductAttention(
+                num_heads=cfg.fuse_num_heads, dropout_rate=cfg.fuse_dropout
+            )
+            self.feat_layernorm = fnn.LayerNorm()
+
+    # -- vis_feat (ref: joint.py:140-179) -----------------------------------
+    def vis_feat(self, inputs, vis_encoded, return_mid: bool = False):
+        cfg = self.cfg
+        box_mask = inputs["vis_box_mask"]
+        B, P = box_mask.shape
+        feat = [vis_encoded["box"]]
+        mask = [box_mask]
+        split = [P]
+        if cfg.add_rel:
+            feat.append(vis_encoded["rel"])
+            rel_mask = box_mask[:, None, :] & box_mask[:, :, None]
+            rel_mask = jnp.triu(rel_mask, 1).reshape(B, -1)
+            mask.append(rel_mask)
+            split.append(P * P)
+        if cfg.add_attr:
+            feat.append(vis_encoded["attr"])
+            mask.append(box_mask)
+            split.append(P)
+        if cfg.add_image:
+            feat.append(vis_encoded["box"].mean(1, keepdims=True))
+            mask.append(jnp.ones((B, 1), bool))
+            split.append(1)
+        mid = jnp.concatenate(feat, axis=1)
+        vis = self.vis_mlp_pre_matching(mid)
+        vis_mask = jnp.concatenate(mask, axis=1)
+        if return_mid:
+            return vis, vis_mask, tuple(split), mid
+        return vis, vis_mask, tuple(split)
+
+    # -- lang_feat (ref: joint.py:195-292) -----------------------------------
+    def _root_prepended(self, x, mask, seq_len):
+        root = (
+            jnp.where(mask[..., None], x, 0.0).sum(1)
+            / jnp.maximum(seq_len, 1)[:, None]
+        )[:, None]
+        return jnp.concatenate([root, x], axis=1)
+
+    def lang_feat_word_only(self, inputs, encoded, lang_score, mask,
+                            deterministic):
+        B = mask.shape[0]
+        q_mask = jnp.concatenate([jnp.zeros((B, 1), bool), mask], 1)
+        x = self._root_prepended(encoded["x"], mask, inputs["seq_len"])
+        word_repr = self.word_encoder(x, deterministic=deterministic)
+        return word_repr, q_mask, q_mask.astype(jnp.float32)
+
+    def lang_feat_max_tree(self, inputs, encoded, lang_score, mask,
+                           deterministic):
+        """word + arcs of the current Viterbi tree (ref: joint.py:238-292)."""
+        cfg = self.cfg
+        B, L = mask.shape
+        q_mask = jnp.concatenate([jnp.zeros((B, 1), bool), mask], 1)
+        txt_mask = jnp.concatenate([q_mask, q_mask], 1)
+
+        mdec = jax.lax.stop_gradient(lang_score["merged_dec"])
+        mattach = jax.lax.stop_gradient(lang_score["merged_attach"])
+        lengths = inputs["seq_len"]
+        _, marg = dmv_marginals(mdec, mattach, lengths)
+        arc_margin = marg.sum(-1)  # [B, L+1, L+1]
+        _, ind = dmv_marginals(mdec, mattach, lengths, MaxSemiring)
+        ind = ind.sum(-1)
+        predicted = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32),
+             jnp.argmax(ind[:, :, 1:], axis=1).astype(jnp.int32)], 1
+        )  # [B, L+1] head of each position (position 0 = root)
+
+        if cfg.add_marginal:
+            arc_margin = jnp.take_along_axis(
+                arc_margin, predicted[:, None, :], axis=1
+            )[:, 0]  # [B, L+1] marginal of the chosen arc
+        else:
+            arc_margin = q_mask.astype(jnp.float32)
+        txt_marginal = jnp.concatenate(
+            [q_mask.astype(arc_margin.dtype), arc_margin], 1
+        )
+
+        x = self._root_prepended(encoded["x"], mask, inputs["seq_len"])
+        word_repr = self.word_encoder(x, deterministic=deterministic)
+        child_repr = self.child_encoder(x, deterministic=deterministic)
+        parent_x = jnp.take_along_axis(
+            x, predicted[..., None].astype(jnp.int32), axis=1
+        )
+        parent_repr = self.parent_encoder(parent_x,
+                                          deterministic=deterministic)
+        arc_repr = (
+            jnp.einsum("bcx,xhy,bcy->bch", child_repr, self.arc_encoder_w1,
+                       parent_repr)
+            + (child_repr + parent_repr) @ self.arc_encoder_w2
+            + self.arc_encoder_b
+        )
+        txt = jnp.concatenate([word_repr, arc_repr], axis=1)
+        return txt, txt_mask, txt_marginal
+
+    def lang_feat(self, inputs, encoded, lang_score, mask, deterministic):
+        if self.cfg.language_factor_mode == "word":
+            return self.lang_feat_word_only(
+                inputs, encoded, lang_score, mask, deterministic
+            )
+        return self.lang_feat_max_tree(
+            inputs, encoded, lang_score, mask, deterministic
+        )
+
+    # -- gather_logit (ref: joint.py:406-432) --------------------------------
+    def gather_logit(self, vis, txt):
+        vis_feat, vis_mask, _ = vis[:3]
+        txt_feat, txt_mask, txt_marginal = txt
+        attmap = jnp.einsum("avd,bqd->baqv", vis_feat, txt_feat)
+        attmap = jnp.where(vis_mask[None, :, None, :], attmap, -INF)
+        attmap = jnp.where(txt_mask[:, None, :, None], attmap, -INF)
+        if self.cfg.gather_logit_mode == "reduced":
+            maxatt = attmap.max(-1)  # [B, A, Q]
+            logit = (maxatt * txt_marginal[:, None]).sum(-1) / (
+                txt_marginal.sum(1, keepdims=True) + 1e-9
+            )
+            return logit
+        return attmap
+
+    # -- forward --------------------------------------------------------------
+    def __call__(self, inputs: Dict[str, Any], *, deterministic: bool = True):
+        cfg = self.cfg
+        mask = (
+            jnp.arange(inputs["token"].shape[1])[None, :]
+            < inputs["seq_len"][:, None]
+        )
+        has_vis = "vis_box_feat" in inputs
+        vis_encoded = (
+            self.vis_encoder(inputs, deterministic=deterministic)
+            if has_vis else {}
+        )
+
+        # language embedding/encoding
+        emb, aux = self.dependency.embedding(
+            inputs, deterministic=deterministic
+        )
+        encoded = self.dependency.encoder(
+            emb, mask, deterministic=deterministic
+        )
+
+        # attention augmentation of text features with matched visual
+        # features (ref: joint.py:658-675)
+        if (has_vis and cfg.feat_fuse_mode == "attention"
+                and cfg.fuse_aug_with_matching):
+            vis = self.vis_feat(inputs, vis_encoded, return_mid=True)
+            txt_w = self.lang_feat_word_only(
+                inputs, encoded, None, mask, deterministic
+            )
+            attmap = jax.nn.softmax(
+                jnp.einsum("bvd,bqd->bqv", vis[0], txt_w[0][:, 1:]), axis=2
+            )
+            x_aug = jnp.einsum("bqv,bvh->bqh", attmap, vis[3])
+            encoded = {**encoded,
+                       "x": self.feat_layernorm(encoded["x"] + x_aug)}
+
+        lang_score = self.dependency(
+            inputs, encoded=encoded, deterministic=deterministic
+        )
+
+        out = dict(lang_score)
+        if has_vis:
+            vis = self.vis_feat(inputs, vis_encoded)
+            txt = self.lang_feat(
+                inputs, encoded, lang_score, mask, deterministic
+            )
+            logit = self.gather_logit(vis, txt)
+            out.update({
+                "match_logit": logit,
+                "vis_packed": vis,
+                "txt_packed": txt,
+            })
+        return out
+
+    # -- grounding loss (ref: joint.py:439-499) -------------------------------
+    def _pos_prior_mask(self, attmap, tag, vis_split, self_pairs: bool):
+        """Subtract a large constant from out-of-prior factor groups.
+
+        attmap: [..., Q, V] where Q = 1 + L (+ L arcs). Applies to the
+        word block rows 1..L+1 only (ref: joint.py:444-471).
+        """
+        L = tag.shape[1]
+        offset = 0
+        Q, V = attmap.shape[-2], attmap.shape[-1]
+        v_pos = jnp.arange(V)
+        pen = jnp.zeros((tag.shape[0], Q, V), attmap.dtype)
+        for name, width in zip(self.vis_factor_names, vis_split):
+            if name == "obj":
+                ids = self.pos_for_obj
+            elif name == "rel":
+                ids = self.pos_for_rel
+            elif name == "attr":
+                ids = self.pos_for_attr
+            else:
+                offset += width
+                continue
+            in_prior = jnp.isin(tag, jnp.asarray(np.asarray(ids)))  # [B, L]
+            outside = (v_pos < offset) | (v_pos >= offset + width)  # [V]
+            # penalize the word rows (1..L) of tokens in the prior set for
+            # every factor column outside the prior's group
+            token_in_prior = jnp.pad(in_prior, ((0, 0), (1, Q - L - 1)))
+            pen = pen - 100.0 * (
+                token_in_prior[:, :, None] & outside[None, None, :]
+            ).astype(attmap.dtype)
+            offset += width
+        return pen
+
+    def loss_grounding_factor_ce(self, out, inputs):
+        """(ref: joint.py:440-491)"""
+        cfg = self.cfg
+        attmap = out["match_logit"]  # [B, A, Q, V]
+        txt_feat, txt_mask, txt_marginal = out["txt_packed"]
+        vis_feat, vis_mask, vis_split = out["vis_packed"][:3]
+        B = attmap.shape[0]
+        if cfg.loss_use_pos_prior:
+            pen = self._pos_prior_mask(
+                attmap, inputs["tag"], vis_split, self_pairs=True
+            )
+            # apply only on the diagonal (own image) entries
+            eye = jnp.eye(B, dtype=bool)[:, :, None, None]
+            attmap = attmap + jnp.where(eye, pen[:, None], 0.0)
+
+        num_token = inputs["seq_len"].sum()
+        logit = attmap.max(-1)  # [B, A, Q]
+        logit = jax.nn.log_softmax(logit, axis=1)
+        diag = jnp.einsum("bbq->bq", logit)
+        txt2vis = -(diag * txt_marginal).sum()
+        loss = {
+            "txt2vis": txt2vis / (jax.lax.stop_gradient(txt2vis) + 1e-6)
+            * num_token
+        }
+        if cfg.loss_vis2txt > 0:
+            logit_v = attmap.max(-2)  # [B, A, V]
+            logit_v = jax.nn.log_softmax(logit_v, axis=0)
+            diag_v = jnp.einsum("bbv->bv", logit_v)
+            vis2txt = -(diag_v * vis_mask).sum()
+            loss["mt_vis2txt"] = (
+                cfg.loss_vis2txt * vis2txt
+                / (jax.lax.stop_gradient(vis2txt) + 1e-6) * num_token
+            )
+        return sum(loss.values()), loss
+
+    def loss_grounding_cap_img(self, out, inputs):
+        """(ref: joint.py:493-499)"""
+        logit = out["match_logit"]  # [B, A] from 'reduced' gather
+        B = logit.shape[0]
+        logp = jax.nn.log_softmax(logit, axis=1)
+        loss = -jnp.einsum("bb->b", logp).mean()
+        return loss, {"mt": loss}
+
+    def loss(self, out, gold, inputs, dep_loss, dep_aux):
+        """Interpolated joint loss (ref: joint.py:693-711)."""
+        cfg = self.cfg
+        alpha = cfg.grounding_interpolation
+        if out.get("match_logit") is None:
+            return dep_loss, dep_aux
+        if cfg.loss_grounding_mode == "factor|ce":
+            mt_loss, mt_aux = self.loss_grounding_factor_ce(out, inputs)
+        else:
+            mt_loss, mt_aux = self.loss_grounding_cap_img(out, inputs)
+        enough = (inputs["vis_available"].sum() >= 2).astype(mt_loss.dtype)
+        mt_loss = mt_loss * enough * (alpha > 0)
+        return alpha * mt_loss + (1 - alpha) * dep_loss, {
+            **dep_aux, **mt_aux
+        }
+
+    # -- grounding decode (device part; ref: joint.py:506-629) ----------------
+    def decode_grounding_device(self, out, inputs, topk: int = 5):
+        cfg = self.cfg
+        match_logit = out["match_logit"]  # [B, A, Q, V]
+        vis_feat, vis_mask, vis_split = out["vis_packed"][:3]
+        factor2img = match_logit.max(-1).argmax(1)  # [B, Q]
+        logit = jnp.einsum("bbqv->bqv", match_logit)  # [B, Q, V]
+
+        if cfg.decode_use_pos_prior:
+            pen = self._pos_prior_mask(
+                logit, inputs["tag"], vis_split, self_pairs=False
+            )
+            logit = logit + jax.lax.stop_gradient(pen)
+
+        if cfg.decode_use_heuristic:
+            logit = self._decode_heuristic(logit, vis_split,
+                                           inputs["token"].shape[1])
+
+        top_val, top_idx = jax.lax.top_k(logit, topk)  # [B, Q, k]
+        return {
+            "txt_to_factor_idx": top_idx,
+            "txt_to_img": factor2img,
+        }
+
+    def _decode_heuristic(self, logit, vis_split, L):
+        """Constrain rel/attr to best-aligned boxes (ref: joint.py:554-592)."""
+        names = self.vis_factor_names
+        P = vis_split[0]
+        box_logit = logit[..., :P]
+        aligned_value = logit.max(-1)  # [B, Q]
+        box_max_val = box_logit.max(-1)
+        box_max_ind = box_logit.argmax(-1)
+        B, Q = box_max_val.shape
+        allowed = (box_max_val == aligned_value) & (box_max_val > -1e5)
+        allowed_word = allowed.at[:, L + 1:].set(False)
+        # allowed boxes per image: union over query tokens
+        onehot = jax.nn.one_hot(box_max_ind, P, dtype=bool)
+
+        out_parts = [box_logit]
+        offset = P
+        for name, width in zip(names[1:], vis_split[1:]):
+            part = logit[..., offset:offset + width]
+            if name == "rel":
+                am = (onehot & allowed_word[..., None]).any(1)  # [B, P]
+                am2 = (am[:, :, None] & am[:, None, :]).reshape(B, 1, P * P)
+                part = jnp.where(am2, part, part - 100.0)
+                part = part.reshape(B, Q, P, P)
+                eye = jnp.eye(P, dtype=bool)
+                part = jnp.where(eye[None, None], -1e10, part)
+                part = part.reshape(B, Q, P * P)
+            elif name == "attr":
+                am = (onehot & allowed[..., None]).any(1)  # [B, P]
+                part = jnp.where(am[:, None, :], part, -1e10)
+            out_parts.append(part)
+            offset += width
+        return jnp.concatenate(out_parts, axis=-1)
+
+    # -- host-side formatting (ref: joint.py:594-629) -------------------------
+    def format_grounding(self, top_idx, vis_split, seq_len, box_index,
+                         txt_mask):
+        """Map flat factor indices to (factor_name, box ids) lists."""
+        names = self.vis_factor_names
+        start_points = [0] + list(accumulate(vis_split))
+        results = []
+        top_idx = np.asarray(top_idx)
+        txt_mask = np.asarray(txt_mask)
+        for b in range(top_idx.shape[0]):
+            inst = []
+            for q in range(top_idx.shape[1]):
+                if not txt_mask[b, q]:
+                    continue
+                token_out = []
+                for idx in top_idx[b, q].tolist():
+                    g = bisect_left(start_points, idx)
+                    if g == len(start_points) or start_points[g] != idx:
+                        g -= 1
+                    name = names[g]
+                    idx -= start_points[g]
+                    if name == "rel":
+                        P = vis_split[0]
+                        token_out.append(
+                            (name, (int(box_index[b][idx // P]),
+                                    int(box_index[b][idx % P])))
+                        )
+                    else:
+                        token_out.append((name, int(box_index[b][idx])))
+                inst.append(token_out)
+            results.append(inst)
+        return results

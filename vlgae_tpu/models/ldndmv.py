@@ -1,0 +1,304 @@
+"""Discriminative neural DMV (L-NDMV), flax/TPU-native.
+
+Re-designed from the reference (ref: src/model/ldndmv.py). The module's
+``__call__`` produces the score dict (attach/dec/root + merged tables);
+``loss``/``decode`` are pure functions over scores so they compose with
+jit/grad, replacing the stateful ModelBase plumbing. Epoch-dependent
+behavior (the init warmup, ref: ldndmv.py:211-215,262-275) is an
+explicit ``init_phase`` flag threaded from the training loop instead of
+a global trainer singleton.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as fnn
+
+from ..struct import DMV1o, DependencyCRF, dmv_merge
+from ..struct.dmv import HASCHILD, LEFT, NOCHILD, RIGHT
+from ..struct.semirings import NEGINF
+from .embedding import CompositeEmbedding
+from .nn import DMVFactorizedBilinear, DMVSkipConnectEncoder, MLP, multivariate_kl
+
+# POS tags whose words may not act as heads (ref: ldndmv.py:147)
+FUNCTION_POS = ("ADP", "AUX", "CCONJ", "SCONJ", "CONJ", "DET", "PART")
+
+
+@dataclasses.dataclass(frozen=True)
+class LDNDMVConfig:
+    """(ref: ldndmv.py:34-69)"""
+
+    context_mode: str = "mean"  # hx | mean | max | token | passthrough | none
+    init_method: str = "y"  # 'y' | path to pretrained DMV | 'none'
+    init_epoch: int = 0
+    viterbi_training: bool = True
+    mbr_decoding: bool = False
+    extended_valence: bool = True
+    function_mask: bool = False
+    variational_mode: str = "none"  # none | all:vae | all:ib | tag:vae | tag:ib
+    z_dim: int = 0
+    hidden_size: int = 256
+    mid_bottleneck: int = 0
+    mid_n_mid: int = 0
+    mid_dropout: float = 0.0
+    ff_dropout: float = 0.33
+    attach_rank: int = 16
+    dec_rank: int = 16
+    root_rank: int = 16
+    root_emb_dim: int = 10
+    dec_emb_dim: int = 10
+    n_token: int = 0
+    n_tag: int = 0
+
+
+class DiscriminativeNDMV(fnn.Module):
+    cfg: LDNDMVConfig
+    embedding: CompositeEmbedding
+    encoder: Any
+    token2word: Optional[Tuple[int, ...]] = None
+    token2tag: Optional[Tuple[int, ...]] = None
+    function_mask_ids: Tuple[int, ...] = ()
+
+    def setup(self):
+        cfg = self.cfg
+        if cfg.variational_mode != "none":
+            self.variational_enc = fnn.Dense(cfg.z_dim * 2)
+            if cfg.variational_mode.endswith("ib"):
+                self.target_mean = self.param(
+                    "target_mean", fnn.initializers.zeros_init(), (1, cfg.z_dim)
+                )
+                self.target_lvar = self.param(
+                    "target_lvar", fnn.initializers.zeros_init(), (1, cfg.z_dim)
+                )
+        self.head_ff = MLP(cfg.hidden_size, cfg.ff_dropout)
+        self.child_ff = MLP(cfg.hidden_size, cfg.ff_dropout)
+        self.root_ff = MLP(cfg.hidden_size, cfg.ff_dropout)
+        self.dec_ff = MLP(cfg.hidden_size, cfg.ff_dropout)
+        self.mid_ff = DMVSkipConnectEncoder(
+            cfg.hidden_size, cfg.mid_bottleneck, cfg.mid_n_mid, cfg.mid_dropout
+        )
+        self.attach_scorer = DMVFactorizedBilinear(r=cfg.attach_rank)
+        self.dec_scorer = DMVFactorizedBilinear(r=cfg.dec_rank)
+        self.root_scorer = DMVFactorizedBilinear(r=cfg.root_rank)
+        self.root_emb = self.param(
+            "root_emb", fnn.initializers.normal(1.0), (1, cfg.root_emb_dim)
+        )
+        self.dec_emb = self.param(
+            "dec_emb", fnn.initializers.normal(1.0), (2, cfg.dec_emb_dim)
+        )
+
+    # -- helpers -----------------------------------------------------------
+    def token_emb(self):
+        """Vocab-level token embeddings (ref: ldndmv.py:317-333)."""
+        parts = []
+        if self.token2word is not None:
+            ids = jnp.asarray(np.asarray(self.token2word))
+            parts.append(self.embedding.embed_item("word_embedding", ids))
+        if self.token2tag is not None:
+            ids = jnp.asarray(np.asarray(self.token2tag))
+            parts.append(self.embedding.embed_item("tag_embedding", ids))
+        return jnp.concatenate(parts, -1)
+
+    def extract_sent_repr(self, encoded, mask, *, deterministic):
+        """Sentence context + optional variational bottleneck
+        (ref: ldndmv.py:218-250)."""
+        cfg = self.cfg
+        if cfg.context_mode == "none":
+            return None, None
+        x = encoded["x"]
+        B, L, _ = x.shape
+        if cfg.context_mode == "hx":
+            context = encoded["hiddens"].transpose(1, 0, 2).reshape(B, 1, -1)
+        elif cfg.context_mode == "mean":
+            denom = jnp.maximum(mask.sum(-1, keepdims=True), 1)
+            context = (
+                jnp.where(mask[..., None], x, 0.0).sum(1, keepdims=True)
+                / denom[..., None]
+            )
+        elif cfg.context_mode == "max":
+            context = jnp.where(mask[..., None], x, -jnp.inf).max(
+                1, keepdims=True
+            )
+        else:
+            context = x
+
+        kl = None
+        if cfg.variational_mode != "none":
+            mean, lvar = jnp.split(self.variational_enc(context), 2, -1)
+            if cfg.variational_mode.endswith("ib"):
+                m = mean.reshape(-1, cfg.z_dim)
+                l = lvar.reshape(-1, cfg.z_dim)
+                kl = multivariate_kl(
+                    m, jnp.broadcast_to(self.target_mean, m.shape),
+                    l, jnp.broadcast_to(self.target_lvar, l.shape),
+                )
+            else:
+                kl = -0.5 * jnp.sum(lvar - mean ** 2 - jnp.exp(lvar) + 1)
+            if deterministic:
+                context = mean
+            else:
+                rng = self.make_rng("sample")
+                context = mean + jnp.exp(0.5 * lvar) * jax.random.normal(
+                    rng, mean.shape
+                )
+        if context.shape[1] == 1 and L > 1:
+            context = jnp.broadcast_to(
+                context, (B, L, context.shape[-1])
+            )
+        return context, kl
+
+    def construct_token_repr(self, emb, context, aux):
+        """(ref: ldndmv.py:252-258)"""
+        cfg = self.cfg
+        if context is None or (
+            cfg.context_mode == "passthrough" and cfg.variational_mode == "none"
+        ):
+            return emb
+        if cfg.variational_mode.startswith("tag"):
+            return jnp.concatenate([aux["tag_embedding"], context], -1)
+        return jnp.concatenate([emb, context], -1)
+
+    # -- forward -------------------------------------------------------------
+    def __call__(self, inputs: Dict[str, Any], encoded=None, *,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        mask = (
+            jnp.arange(inputs["token"].shape[1])[None, :]
+            < inputs["seq_len"][:, None]
+        )
+        emb, aux = self.embedding(inputs, deterministic=deterministic)
+        if encoded is None:
+            encoded = self.encoder(emb, mask, deterministic=deterministic)
+        out: Dict[str, Any] = {"encoded": encoded, "emb": emb}
+
+        context, kl = self.extract_sent_repr(
+            encoded, mask, deterministic=deterministic
+        )
+        out["kl"] = kl
+        if "kl" in aux:
+            out["emb_kl"] = aux["kl"]
+        h = self.construct_token_repr(emb, context, aux)
+
+        b, n = inputs["token"].shape
+        # [b, n, dir, val, hidden] / [1, n_token, dir, val, hidden]
+        h_parent = self.mid_ff(self.head_ff(h, deterministic=deterministic),
+                               deterministic=deterministic)
+        h_child = self.mid_ff(self.child_ff(self.token_emb(),
+                                            deterministic=deterministic),
+                              deterministic=deterministic)[None]
+        h_root = self.mid_ff(self.root_ff(self.root_emb,
+                                          deterministic=deterministic),
+                             deterministic=deterministic)[None]
+        h_dec = self.mid_ff(self.dec_ff(self.dec_emb,
+                                        deterministic=deterministic),
+                            deterministic=deterministic)[None]
+
+        # attach: [b, n, n_token, dir, val], normalized over child states
+        attach_rule = jax.nn.log_softmax(
+            self.attach_scorer(h_parent, h_child), axis=2
+        )
+        if not cfg.extended_valence:
+            attach_rule = jnp.stack(
+                [attach_rule[..., 0], attach_rule[..., 0]], axis=-1
+            )
+        # gather child token states -> [b, n, n, dir, val]
+        attach_prob = jnp.take_along_axis(
+            attach_rule,
+            inputs["token"][:, None, :, None, None].astype(jnp.int32),
+            axis=2,
+        )
+        left_mask = jnp.tril(jnp.ones((n, n)), -1)[None, :, :, None]
+        right_mask = jnp.triu(jnp.ones((n, n)), 1)[None, :, :, None]
+        attach_prob = (
+            attach_prob[..., LEFT, :] * left_mask
+            + attach_prob[..., RIGHT, :] * right_mask
+        )
+        if cfg.function_mask and len(self.function_mask_ids):
+            bad = jnp.isin(
+                inputs["tag"], jnp.asarray(np.asarray(self.function_mask_ids))
+            )
+            attach_prob = jnp.where(bad[:, :, None, None], NEGINF, attach_prob)
+        out["attach"] = attach_prob
+        out["attach_rule"] = attach_rule
+
+        # dec: [b, n, state, dir, val] -> [b, n, dir, val, dec]
+        dec_prob = jax.nn.log_softmax(
+            jnp.transpose(self.dec_scorer(h_parent, h_dec), (0, 1, 3, 4, 2)),
+            axis=-1,
+        )
+        out["dec"] = out["dec_rule"] = dec_prob
+
+        # root: sum over dir/val, normalized over token states
+        root_prob = jax.nn.log_softmax(
+            self.root_scorer(h_root, h_child).sum((-1, -2)), axis=-1
+        )[:, 0]  # [1, n_token]
+        root_prob = jnp.broadcast_to(root_prob, (b, root_prob.shape[-1]))
+        out["root"] = jnp.take_along_axis(
+            root_prob, inputs["token"].astype(jnp.int32), axis=1
+        )
+        out["root_rule"] = root_prob
+
+        out["merged_dec"], out["merged_attach"] = dmv_merge(
+            out["dec"], out["attach"], out["root"]
+        )
+        return out
+
+
+# -- pure loss / decode -------------------------------------------------------
+
+
+def loss_nll(scores, lengths, viterbi: bool):
+    """-(max or marginal) log-likelihood (ref: ldndmv.py:277-281)."""
+    dist = DMV1o((scores["merged_dec"], scores["merged_attach"]), lengths)
+    nll = -(dist.max if viterbi else dist.partition).sum()
+    out = {"nll": nll}
+    if scores.get("kl") is not None:
+        out["lstm_kl"] = scores["kl"]
+    if scores.get("emb_kl") is not None:
+        out["emb_kl"] = scores["emb_kl"]
+    return sum(out.values()), out
+
+
+def loss_init_rules(scores, gold):
+    """Count-matching warmup loss, init_method='y' (ref: ldndmv.py:273-275)."""
+    enll = (
+        -(gold["dec_rule"] * scores["dec"]).sum()
+        - (gold["attach_rule"] * scores["attach"]).sum()
+        - (gold["root_rule"] * scores["root"]).sum()
+    )
+    out = {"enll": enll}
+    if scores.get("kl") is not None:
+        out["lstm_kl"] = scores["kl"]
+    if scores.get("emb_kl") is not None:
+        out["emb_kl"] = scores["emb_kl"]
+    return sum(out.values()), out
+
+
+def loss_init_pretrained(scores, dmv_scores, lengths):
+    """Warmup against a frozen DMV's expected counts (ref: ldndmv.py:264-271)."""
+    mdec = jax.lax.stop_gradient(dmv_scores["merged_dec"])
+    mattach = jax.lax.stop_gradient(dmv_scores["merged_attach"])
+    from ..struct.dmv import dmv_marginals
+
+    gd, ga = dmv_marginals(mdec, mattach, lengths)
+    enll = (
+        -(gd * scores["merged_dec"]).sum()
+        - (ga * scores["merged_attach"]).sum()
+    )
+    return enll, {"enll": enll}
+
+
+def decode(scores, lengths, mbr: bool):
+    """Tree decode (ref: ldndmv.py:289-304). Returns heads [B, L]."""
+    mdec = jax.lax.stop_gradient(scores["merged_dec"])
+    mattach = jax.lax.stop_gradient(scores["merged_attach"])
+    dist = DMV1o((mdec, mattach), lengths)
+    if mbr:
+        arc = dist.marginals.sum(-1)
+        return DependencyCRF(arc, lengths).argmax_heads
+    return dist.argmax_heads

@@ -1,0 +1,64 @@
+"""Visual factor encoders.
+
+Re-designed from the reference (ref: src/model/vis_encoder/box_rel.py):
+project Faster-RCNN box features into box / relation (box-pair) /
+attribute / whole-image factor embeddings.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from .nn import MLP
+
+
+class VisBoxRelSimpleEncoder(fnn.Module):
+    """Box/rel/attr/img factor MLPs (ref: box_rel.py:8-56).
+
+    Relations are all box *pairs*, embedded from the mean of the two box
+    inputs; ``img_feat=True`` concatenates the mean image feature to
+    every box input first.
+    """
+
+    n_hidden: int
+    dropout: float = 0.0
+    activate: bool = True
+    use_attr: bool = True
+    use_img: bool = False
+    img_feat: bool = True
+    n_in: int = 0  # config parity; inferred from inputs
+
+    def get_dim(self, field=None) -> int:
+        return self.n_hidden
+
+    @fnn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        feat = x["vis_box_feat"]  # [B, N, H]
+        B, N, H = feat.shape
+        if self.img_feat:
+            mean_feat = jnp.broadcast_to(
+                feat.mean(1, keepdims=True), feat.shape
+            )
+            inputs = jnp.concatenate([feat, mean_feat], -1)
+        else:
+            inputs = feat
+        rel_inp = (inputs[:, :, None] + inputs[:, None, :]) / 2
+        rel = MLP(self.n_hidden, self.dropout, self.activate, name="rel_fc")(
+            rel_inp, deterministic=deterministic
+        ).reshape(B, N * N, self.n_hidden)
+        out = {
+            "box": MLP(self.n_hidden, self.dropout, self.activate,
+                       name="box_fc")(inputs, deterministic=deterministic),
+            "rel": rel,
+        }
+        if self.use_attr:
+            out["attr"] = MLP(self.n_hidden, self.dropout, self.activate,
+                              name="attr_fc")(inputs,
+                                              deterministic=deterministic)
+        if self.use_img:
+            out["img"] = MLP(self.n_hidden, self.dropout, self.activate,
+                             name="img_fc")(
+                feat.mean(1, keepdims=True), deterministic=deterministic
+            )
+        return out

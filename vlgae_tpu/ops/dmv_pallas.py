@@ -111,6 +111,10 @@ def _inside_fill(n1, n1r, is_max, attL, attR, seedR, seedL, lengths_row,
     Il[:, :, :, :] = neg_all
     Cr[0, :, :, :] = seedR[:]
     Cl[0, :, :, :] = seedL[:]
+    # pads must start at semiring zero: _shift_read only overwrites the
+    # first n1r columns, and uninitialised VMEM is garbage on hardware
+    padA[:, :, :] = jnp.full(padA.shape, NEGINF, jnp.float32)
+    padB[:, :, :] = jnp.full(padB.shape, NEGINF, jnp.float32)
 
     i_iota = lax.broadcasted_iota(jnp.int32, (n1r, BT), 0)
     lengths = lengths_row[0, :]  # [BT]
@@ -203,6 +207,7 @@ def _outside_kernel(n1, n1r, is_max,
     OCl[:, :, :, :] = neg_all
     OIr[:, :, :, :] = neg_all
     OIl[:, :, :, :] = neg_all
+    padC[:, :, :] = jnp.full(padC.shape, NEGINF, jnp.float32)
 
     lengths = len_ref[0, :]
     logz = logz_ref[0, :]  # [BT] total (log partition or max score)
@@ -228,6 +233,11 @@ def _outside_kernel(n1, n1r, is_max,
         ocr_w = jnp.where(
             sel_nc & at_final[None], jnp.maximum(ocr_w, 0.0), ocr_w
         )
+        # The forward masks Cr[w, 0] to semiring-zero unless w == length
+        # (single-root constraint); the adjoint of a masked cell must not
+        # propagate into its inputs.
+        root_keep = (i_iota != 0) | (lengths[None, :] == w)
+        ocr_w = jnp.where(root_keep[None], ocr_w, NEGINF)
         OCr[w, :, :, :] = ocr_w
         ocl_w = OCl[w, :, :, :]
 

@@ -1,0 +1,396 @@
+"""Training pipeline: jitted train/eval steps, epochs, checkpointing.
+
+Re-designed from the reference Lightning pipeline (ref: src/pipeline.py)
+and callbacks (ref: src/utility/pl_callback.py): the epoch/step loop is
+explicit; train/eval steps are pure jitted functions compiled once per
+(batch, length) bucket shape; the best-watcher, early LR stop, and
+prediction writing are host-side.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import traverse_util
+
+from ..data.conll import write_conll_rows
+from ..models import (
+    dmv_model,
+    ldndmv_decode,
+    loss_init_rules,
+    loss_nll,
+)
+from ..models.dmv_init import generate_rule_1o
+from ..parallel import data_parallel_mesh, pad_batch_to_devices, replicate
+from ..utils.fn import coeff_at, parse_coeff_schedule, reduce_loss
+from .metrics import (
+    BoxRelMatchingMetric,
+    DependencyParsingMetric,
+    FactorImageMatchingMetric,
+    MultiMetric,
+)
+from .optim import build_optimizer
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+    epoch: int = 0
+    rng: Any = None
+
+
+class Pipeline:
+    """Owns model + params + optimizer + metrics (ref: pipeline.py:30-271)."""
+
+    def __init__(self, model, dm, cfg: Dict[str, Any], workdir: str = "."):
+        self.model = model
+        self.dm = dm
+        self.cfg = cfg
+        self.workdir = workdir
+        self.loss_reduction_mode = cfg.get("pipeline", {}).get(
+            "loss_reduction_mode", "token"
+        )
+        self.is_joint = hasattr(model, "dependency")
+        self.dep_cfg = model.dep_cfg if self.is_joint else model.cfg
+        self.mesh = data_parallel_mesh()
+        self.n_devices = len(self.mesh.devices.reshape(-1))
+        self.metrics = self._build_metrics()
+        self._jit_cache: Dict[Any, Callable] = {}
+        self.alpha_schedule = None
+        model_cfg = cfg.get("model", {})
+        if isinstance(model_cfg.get("grounding_interpolation"), str):
+            self.alpha_schedule = parse_coeff_schedule(
+                model_cfg["grounding_interpolation"]
+            )
+        self.state: Optional[TrainState] = None
+        self.best = None
+        self.watch_field = cfg.get("watch_field", "val/loss")
+        self.watch_mode = cfg.get("watch_mode", "min")
+
+    # -- setup -----------------------------------------------------------
+    def _build_metrics(self):
+        metric_cfg = self.cfg.get("metric", {})
+        target = (metric_cfg or {}).get("_target_", "")
+        if "BoxRel" in target or self.is_joint:
+            return [
+                MultiMetric(
+                    DependencyParsingMetric(),
+                    box=BoxRelMatchingMetric(),
+                    img=FactorImageMatchingMetric(),
+                )
+                for _ in range(2)
+            ]
+        return [DependencyParsingMetric() for _ in range(2)]
+
+    def init_state(self, sample_batch, seed: int = 0):
+        x, y = sample_batch
+        inputs = {k: jnp.asarray(v) for k, v in x.items()}
+        rng = jax.random.key(seed)
+        params = jax.jit(self.model.init)(
+            {"params": rng, "dropout": rng, "sample": rng}, inputs
+        )
+        n_batches = max(
+            1, len(self.dm.datasets.get("train", [1]))
+            // max(self.cfg.get("datamodule", {})
+                   .get("train_dataloader", {}).get("batch_size", 32), 1),
+        )
+        frozen = []
+        emb_items = getattr(self.model, "embedding", None)
+        # freeze transformer items with requires_grad=False
+        emb = (self.model.dependency.embedding if self.is_joint
+               else self.model.embedding)
+        for item in emb.items:
+            if item.kind == "transformer" and not item.requires_grad:
+                frozen.append(rf"\b{item.name}\b.*bert")
+        tx, schedule = build_optimizer(
+            params,
+            self.cfg.get("optimizer", {"args": {"lr": 1e-3}}),
+            self.cfg.get("scheduler"),
+            steps_per_epoch=n_batches,
+            gradient_clip_val=self.cfg.get("trainer", {}).get(
+                "gradient_clip_val", 0.0
+            ),
+            frozen_patterns=frozen,
+        )
+        self.tx = tx
+        opt_state = tx.init(params)
+        params = replicate(params, self.mesh)
+        opt_state = replicate(opt_state, self.mesh)
+        self.state = TrainState(params, opt_state, 0, 0, rng)
+        return self.state
+
+    # -- loss assembly ------------------------------------------------------
+    def _alpha(self, epoch: int) -> float:
+        if self.alpha_schedule is not None:
+            return float(coeff_at(self.alpha_schedule, epoch))
+        return float(
+            self.cfg.get("model", {}).get("grounding_interpolation", 0.5)
+        )
+
+    def _compute_loss(self, params, inputs, gold, rng, init_phase: bool,
+                      alpha: float, train: bool):
+        model = self.model
+        rngs = {"dropout": rng, "sample": rng}
+        out = model.apply(params, inputs, deterministic=not train,
+                          rngs=rngs if train else {})
+        lengths = inputs["seq_len"]
+        weights = (lengths > 0).astype(jnp.float32)
+        if init_phase:
+            dep_loss, dep_aux = loss_init_rules(out, gold)
+        else:
+            dep_loss, dep_aux = loss_nll(
+                out, lengths, viterbi=self.dep_cfg.viterbi_training
+            )
+        if self.is_joint and train and not init_phase:
+            total, aux = model.apply(
+                params, out, gold, inputs, dep_loss, dep_aux,
+                method=model.loss,
+            )
+        else:
+            total, aux = dep_loss, dep_aux
+        num_token = jnp.maximum(lengths.sum(), 1)
+        total = reduce_loss(total, num_token, jnp.maximum(weights.sum(), 1),
+                            self.loss_reduction_mode)
+        return total, (aux, out)
+
+    # -- steps ----------------------------------------------------------------
+    def _get_train_step(self, shape_key, init_phase: bool, alpha: float):
+        key = ("train", shape_key, init_phase, round(alpha, 6))
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def step(params, opt_state, inputs, gold, rng):
+            def loss_fn(p):
+                return self._compute_loss(
+                    p, inputs, gold, rng, init_phase, alpha, train=True
+                )
+
+            (loss, (aux, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt, loss, aux
+
+        fn = jax.jit(step, donate_argnums=(0, 1))
+        self._jit_cache[key] = fn
+        return fn
+
+    def _get_eval_step(self, shape_key):
+        key = ("eval", shape_key)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def step(params, inputs, gold):
+            out = self.model.apply(params, inputs, deterministic=True)
+            lengths = inputs["seq_len"]
+            dep_loss, _ = loss_nll(
+                out, lengths, viterbi=self.dep_cfg.viterbi_training
+            )
+            heads = ldndmv_decode(
+                out, lengths, mbr=self.dep_cfg.mbr_decoding
+            )
+            result = {"arc": heads, "loss": dep_loss}
+            if self.is_joint and out.get("match_logit") is not None:
+                g = self.model.apply(
+                    params, out, inputs,
+                    method=self.model.decode_grounding_device,
+                )
+                result["txt_to_factor_idx"] = g["txt_to_factor_idx"]
+                result["txt_to_img"] = g["txt_to_img"]
+                result["txt_mask"] = out["txt_packed"][1]
+                result["vis_split"] = jnp.asarray(out["vis_packed"][2])
+            return result
+
+        fn = jax.jit(step)
+        self._jit_cache[key] = fn
+        return fn
+
+    # -- epoch loops -------------------------------------------------------------
+    def _prep_batch(self, x, y, init_phase: bool):
+        if init_phase and self.dep_cfg.init_method == "y":
+            y = dict(y)
+            arcs = np.asarray(y["arc"])
+            B, L = arcs.shape
+            dec_rule = np.zeros((B, L, 2, 2, 2), np.float32)
+            attach_rule = np.zeros((B, L, L, 2), np.float32)
+            root_rule = np.zeros((B, L), np.float32)
+            for b in range(B):
+                n = int(x["seq_len"][b])
+                if n == 0:
+                    continue
+                rules = generate_rule_1o(list(arcs[b, :n]))
+                dec_rule[b, :n] = rules["dec_rule"]
+                attach_rule[b, :n, :n] = rules["attach_rule"]
+                root_rule[b, :n] = rules["root_rule"]
+            y["dec_rule"] = dec_rule
+            y["attach_rule"] = attach_rule
+            y["root_rule"] = root_rule
+        return x, y
+
+    def train_epoch(self, epoch: int, log_every: int = 50):
+        st = self.state
+        st.epoch = epoch
+        init_phase = (
+            epoch < self.dep_cfg.init_epoch
+            and self.dep_cfg.init_method == "y"
+        )
+        split = "train_init" if (
+            init_phase and "train_init" in self.dm.datasets
+        ) else "train"
+        alpha = self._alpha(epoch)
+        losses = []
+        t0 = time.time()
+        for i, (x, y) in enumerate(self.dm.batches(split)):
+            x, y = self._prep_batch(x, y, init_phase)
+            x, _ = pad_batch_to_devices(x, self.n_devices)
+            y, _ = pad_batch_to_devices(y, self.n_devices)
+            shape_key = tuple(
+                (k, v.shape) for k, v in sorted(x.items())
+            )
+            fn = self._get_train_step(shape_key, init_phase, alpha)
+            st.rng, sub = jax.random.split(st.rng)
+            inputs = {k: jnp.asarray(v) for k, v in x.items()}
+            gold = {k: jnp.asarray(v) for k, v in y.items()}
+            st.params, st.opt_state, loss, aux = fn(
+                st.params, st.opt_state, inputs, gold, sub
+            )
+            st.step += 1
+            losses.append(float(loss))
+        return {
+            "train/loss": float(np.mean(losses)) if losses else 0.0,
+            "train/time": time.time() - t0,
+            "train/init_phase": init_phase,
+        }
+
+    def evaluate(self, split: str = "dev", metric_idx: int = 0):
+        metric = self.metrics[metric_idx]
+        metric.reset()
+        losses = []
+        all_outputs = {}
+        for x, y in self.dm.batches(split, shuffle=False):
+            xp, real = pad_batch_to_devices(x, self.n_devices)
+            yp, _ = pad_batch_to_devices(y, self.n_devices)
+            shape_key = tuple((k, v.shape) for k, v in sorted(xp.items()))
+            fn = self._get_eval_step(shape_key)
+            inputs = {k: jnp.asarray(v) for k, v in xp.items()}
+            gold = {k: jnp.asarray(v) for k, v in yp.items()}
+            res = fn(self.state.params, inputs, gold)
+            res = {k: np.asarray(v) for k, v in res.items()}
+            res = {k: v[:real] if (hasattr(v, "shape") and v.ndim > 0
+                                   and v.shape[0] >= real and k != "vis_split")
+                   else v for k, v in res.items()}
+            losses.append(float(res["loss"]) / max(x["seq_len"].sum(), 1))
+            mask = (
+                np.arange(x["word"].shape[1])[None, :]
+                < np.asarray(x["seq_len"])[:, None]
+            )
+            predict = {"arc": res["arc"]}
+            if "txt_to_factor_idx" in res:
+                vis_split = tuple(int(s) for s in res["vis_split"])
+                box_index = x.get(
+                    "vis_box_index",
+                    np.tile(np.arange(vis_split[0])[None],
+                            (res["arc"].shape[0], 1)),
+                )
+                predict["txt_to_factor"] = self.model.format_grounding(
+                    res["txt_to_factor_idx"], vis_split,
+                    np.asarray(x["seq_len"]), box_index,
+                    res["txt_mask"],
+                )
+                predict["txt_to_img"] = [
+                    res["txt_to_img"][j][res["txt_mask"][j]]
+                    for j in range(res["arc"].shape[0])
+                ]
+            metric.update(predict, y, mask)
+            for j, sid in enumerate(np.asarray(x["id"])):
+                n = int(x["seq_len"][j])
+                rec = {"arc": res["arc"][j, :n].tolist()}
+                if "txt_to_factor" in predict:
+                    tf = predict["txt_to_factor"][j]
+                    rec["txt_to_factor"] = tf
+                all_outputs[int(sid)] = rec
+        result = metric.compute()
+        result["loss"] = float(np.mean(losses)) if losses else 0.0
+        return result, all_outputs
+
+    # -- prediction writing (ref: joint.py:719-743, ldndmv.py:307-315) --------
+    def write_predictions(self, path: str, split: str, outputs: Dict[int, dict]):
+        ds = self.dm.datasets[split]
+        tag_vocab = self.dm.vocabs.get("tag")
+        with open(path, "w", encoding="utf-8") as f:
+            for inst in ds:
+                sid = inst["id"]
+                rec = outputs.get(sid)
+                if rec is None:
+                    continue
+                n = inst["seq_len"]
+                rows = []
+                factors = rec.get("txt_to_factor")
+                for i in range(n):
+                    word = inst["raw_word"][i]
+                    tag = inst["tag"][i] if "tag" in inst else "-"
+                    head = rec["arc"][i] if i < len(rec["arc"]) else 0
+                    row = [i + 1, word, tag, head]
+                    if factors is not None:
+                        row.append(self._format_factor(factors, i, n))
+                    rows.append(row)
+                write_conll_rows(f, rows)
+
+    @staticmethod
+    def _format_factor(factors, idx, length):
+        """ALIGN column (ref: joint.py:640-654)."""
+        def conv(item):
+            t, x = item
+            if isinstance(x, tuple):
+                return f"{t} {x[0]}-{x[1]}"
+            return f"{t} {x}"
+
+        # factors rows: [root, words..., root_arc, word arcs...]
+        if len(factors) > length + 1:
+            word_row = factors[idx + 1]
+            arc_row = factors[idx + 1 + (len(factors) // 2)]
+            return "\t".join(
+                ["|".join(map(conv, word_row)), "|".join(map(conv, arc_row))]
+            )
+        return "|".join(map(conv, factors[idx + 1]))
+
+    # -- best watcher (ref: pl_callback.py:169-292) -----------------------------
+    def is_better(self, value: float) -> bool:
+        if self.best is None:
+            return True
+        return value < self.best if self.watch_mode == "min" else value > self.best
+
+    def save_checkpoint(self, name: str = "last"):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.workdir, "checkpoint", name))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, self.state.params, force=True)
+        ckptr.wait_until_finished()
+        meta = {"step": self.state.step, "epoch": self.state.epoch,
+                "best": self.best}
+        with open(os.path.join(self.workdir, "checkpoint", f"{name}.json"),
+                  "w") as f:
+            json.dump(meta, f)
+        return path
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = jax.tree_util.tree_map(np.asarray, self.state.params)
+        restored = ckptr.restore(os.path.abspath(path), target=target)
+        self.state.params = replicate(restored, self.mesh)
+        return self.state.params
