@@ -1,0 +1,164 @@
+"""Benchmark: batched DMV inside-outside throughput (the north-star metric).
+
+Measures sentences/sec of the full inside-outside (partition + marginals,
+i.e. forward + backward) at sentence length 30, batch 256, on the
+default JAX backend (TPU), and compares against a faithful CPU
+re-implementation of the reference's per-width chart loop
+(PyTorch, autograd-through-the-chart marginals, mirroring
+ref: src/model/torch_struct/dmv.py:19-66 + helpers.py:118-157).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sentences/sec", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+LEN = 30
+BATCH = 256
+CPU_BATCH = 32  # CPU baseline measured on a slice, scaled by batch
+
+
+def make_inputs(B, N, seed=0):
+    rng = np.random.default_rng(seed)
+    dec = rng.standard_normal((B, N + 1, 2, 2, 2)).astype(np.float32)
+    attach = rng.standard_normal((B, N + 1, N + 1, 2)).astype(np.float32)
+    lengths = np.full(B, N, np.int32)
+    return dec, attach, lengths
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from vlgae_tpu.ops import dmv_partition_pallas, pallas_available
+    from vlgae_tpu.struct import LogSemiring, dmv_partition
+
+    dec, attach, lengths = make_inputs(BATCH, LEN)
+    dec, attach, lengths = map(jnp.asarray, (dec, attach, lengths))
+
+    if pallas_available():
+        total_fn = dmv_partition_pallas
+    else:
+        total_fn = lambda d, a, l: dmv_partition(d, a, l, LogSemiring)
+
+    @jax.jit
+    def inside_outside(d, a, l):
+        val, grads = jax.value_and_grad(
+            lambda a_: jnp.sum(total_fn(d, a_, l))
+        )(a)
+        return val, grads
+
+    # warmup / compile
+    v, g = inside_outside(dec, attach, lengths)
+    jax.block_until_ready(g)
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v, g = inside_outside(dec, attach, lengths)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+    return BATCH / dt
+
+
+def bench_cpu_reference():
+    """Reference-style torch CPU inside-outside (per-width python loop)."""
+    import torch
+
+    torch.set_num_threads(max(torch.get_num_threads(), 4))
+    NEG = -1e12
+    NOCHILD, HASCHILD = 1, 0
+    LEFT, RIGHT, GO, STOP = 0, 1, 0, 1
+
+    dec_np, attach_np, lengths_np = make_inputs(CPU_BATCH, LEN)
+    dec = torch.tensor(dec_np)
+    attach = torch.tensor(attach_np, requires_grad=True)
+    lengths = torch.tensor(lengths_np, dtype=torch.long)
+
+    def inside(dec, attach):
+        B, N1 = attach.shape[:2]
+        att_l = attach + dec[:, :, None, LEFT, :, GO]
+        att_r = attach + dec[:, :, None, RIGHT, :, GO]
+        # diagonal-major charts [w][B, n, 2]
+        Cr = [None] * N1
+        Cl = [None] * N1
+        Ir = [None] * N1
+        Il = [None] * N1
+        Cr[0] = dec[:, :, RIGHT, :, STOP]
+        Cl[0] = dec[:, :, LEFT, :, STOP]
+        for w in range(1, N1):
+            n = N1 - w
+            terms_l, terms_r = [], []
+            for t in range(w):
+                c_child = Cr[t][:, :n]
+                c_head = Cl[w - 1 - t][:, 1 + t: 1 + t + n]
+                terms_l.append(c_child[..., NOCHILD] + c_head[..., HASCHILD])
+                terms_r.append(c_child[..., HASCHILD] + c_head[..., NOCHILD])
+            inner_l = torch.logsumexp(torch.stack(terms_l), 0)
+            inner_r = torch.logsumexp(torch.stack(terms_r), 0)
+            hs = torch.arange(w, N1)
+            cs = torch.arange(0, n)
+            Il[w] = inner_l[..., None] + att_l[:, hs, cs]
+            Ir[w] = inner_r[..., None] + att_r[:, cs, hs]
+            terms_cl, terms_cr = [], []
+            for t in range(w):
+                terms_cl.append(
+                    Il[w - t][:, t: t + n]
+                    + Cl[t][:, :n, NOCHILD][..., None]
+                )
+                terms_cr.append(
+                    Ir[t + 1][:, :n]
+                    + Cr[w - 1 - t][:, 1 + t: 1 + t + n, NOCHILD][..., None]
+                )
+            Cl[w] = torch.logsumexp(torch.stack(terms_cl), 0)
+            cr_new = torch.logsumexp(torch.stack(terms_cr), 0)
+            root_keep = lengths.eq(w)
+            cr_new = torch.cat(
+                [
+                    torch.where(
+                        root_keep[:, None], cr_new[:, 0], torch.full_like(
+                            cr_new[:, 0], NEG)
+                    )[:, None],
+                    cr_new[:, 1:],
+                ],
+                dim=1,
+            )
+            Cr[w] = cr_new
+        vals = torch.stack(
+            [Cr[int(l)][b, 0, NOCHILD] for b, l in enumerate(lengths)]
+        )
+        return vals
+
+    # warmup
+    v = inside(dec, attach).sum()
+    v.backward()
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        attach.grad = None
+        v = inside(dec, attach).sum()
+        v.backward()
+    dt = (time.perf_counter() - t0) / iters
+    return CPU_BATCH / dt
+
+
+def main():
+    cpu_sps = bench_cpu_reference()
+    tpu_sps = bench_tpu()
+    result = {
+        "metric": "dmv_inside_outside_len30_b256_sentences_per_sec",
+        "value": round(tpu_sps, 1),
+        "unit": "sentences/sec",
+        "vs_baseline": round(tpu_sps / cpu_sps, 2),
+        "cpu_reference_sentences_per_sec": round(cpu_sps, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

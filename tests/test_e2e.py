@@ -1,0 +1,122 @@
+"""End-to-end: train the joint VLGAE model on the synthetic corpus,
+write predictions, and score them with the standalone evaluator."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+import synth_data
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vlparse_e2e")
+    synth_data.make_corpus(root, n_imgs=4, feat_dim=32, n_box=8)
+    return root
+
+
+def test_train_eval_roundtrip(corpus, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, REPO)
+    import train as train_cli
+
+    overrides = [
+        "exp=vlgae",
+        f"root={corpus.parent}",
+        f"datamodule.train_path={corpus}/train",
+        f"datamodule.train_init_path={corpus}/init",
+        f"datamodule.dev_path={corpus}/val",
+        f"datamodule.test_path={corpus}/test",
+        f"datamodule.sg_path={corpus}/vlparse.json",
+        "datamodule.pad_boxes=8",
+        "datamodule.sample_boxes=5",
+        "datamodule.train_dataloader.batch_size=8",
+        "datamodule.train_dataloader.num_bucket=1",
+        "datamodule.dev_dataloader.num_bucket=1",
+        "datamodule.dev_dataloader.batch_size=8",
+        "datamodule.test_dataloader.num_bucket=1",
+        "datamodule.test_dataloader.batch_size=8",
+        "trainer.max_epochs=2",
+        "model.init_epoch=1",
+        "_hidden_size=32",
+        "_match_hidden_size=16",
+        "_rank=4",
+        "model.dep_model_cfg.mid_ff.n_bottleneck=8",
+        "vis_encoder.n_in=32",
+        "vis_encoder.n_hidden=32",
+    ]
+    pipe, test_result = train_cli.main(overrides)
+    assert "uas" in test_result
+    run_dir = pipe.workdir
+    dev_pred = os.path.join(run_dir, "dev.predict.txt")
+    assert os.path.exists(dev_pred)
+
+    # prediction file format: ID FORM POS HEAD ALIGN(word)\tALIGN(arc)
+    with open(dev_pred) as f:
+        first_block = f.read().split("\n\n")[0].splitlines()
+    assert len(first_block) >= 3
+    cols = first_block[0].split("\t")
+    assert len(cols) >= 5
+    assert cols[0] == "1"
+
+    # standalone evaluator parity check on the produced file
+    import eval as eval_cli
+
+    counts = eval_cli.main([
+        "--file", dev_pred, "--dataroot", str(corpus)
+    ])
+    assert counts["obj"][1] > 0
+    assert counts["rel"][1] > 0
+
+
+def test_classic_dmv_e2e(corpus):
+    """Classic DMV EM on the synthetic corpus: UAS computable, EM runs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vlgae_tpu.data import DepDataModule
+    from vlgae_tpu.models import dmv_model
+    from vlgae_tpu.training.metrics import DependencyParsingMetric
+
+    dm = DepDataModule(
+        train_path=str(corpus / "train.conll"),
+        dev_path=str(corpus / "val.conll"),
+        test_path=str(corpus / "test.conll"),
+        num_lex=0,
+        train_dataloader={"batch_size": 16, "num_bucket": 1},
+        dev_dataloader={"batch_size": 16, "num_bucket": 1},
+        test_dataloader={"batch_size": 16, "num_bucket": 1},
+    ).setup()
+    n_token = len(dm.vocabs["token"])
+    token_seqs = [
+        [dm.vocabs["token"][t] for t in inst["token"]]
+        for inst in dm.datasets["train"]
+    ]
+    cfg = dmv_model.DMVConfig(init_method="km", n_token=n_token, smooth=0.1)
+    params = dmv_model.init_params(cfg, token_seqs=token_seqs)
+    em = dmv_model.EMAccumulator(smooth=0.1)
+    for _ in range(2):
+        for x, y in dm.batches("train", shuffle=False):
+            counts = dmv_model.expected_counts(
+                params, jnp.asarray(x["token"]), jnp.asarray(x["seq_len"])
+            )
+            em.accumulate(counts)
+        params = em.apply(params)
+    metric = DependencyParsingMetric()
+    for x, y in dm.batches("dev", shuffle=False):
+        heads = dmv_model.decode(
+            params, jnp.asarray(x["token"]), jnp.asarray(x["seq_len"]),
+            mbr=True,
+        )
+        mask = (
+            np.arange(x["token"].shape[1])[None, :]
+            < np.asarray(x["seq_len"])[:, None]
+        )
+        metric.update({"arc": np.asarray(heads)}, {"arc": y["arc"]}, mask)
+    result = metric.compute()
+    assert 0 <= result["uas"] <= 100

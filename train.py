@@ -1,0 +1,111 @@
+"""Training entry point.
+
+CLI-compatible with the reference's hydra app (ref: /root/reference/train.py):
+
+    python train.py exp=vlgae root=/path/to/data trainer.max_epochs=50
+
+Composes configs/ (1:1 with the reference's config tree), builds the
+datamodule + model, runs the epoch loop with validation, best-checkpoint
+watching, and final test + prediction dump.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    from vlgae_tpu.utils.config import ConfigComposer, resolve
+
+    config_dir = os.environ.get(
+        "VLGAE_CONFIG_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs"),
+    )
+    cfg = resolve(ConfigComposer(config_dir).compose("config_train",
+                                                     overrides))
+
+    seed = cfg.get("seed") or 0
+    np.random.seed(seed)
+
+    workdir = cfg.get("workdir") or os.path.join(
+        "outputs", str(cfg.get("name", "run")), time.strftime("%Y-%m-%d_%H-%M-%S")
+    )
+    os.makedirs(os.path.join(workdir, "checkpoint"), exist_ok=True)
+    with open(os.path.join(workdir, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2, default=str)
+    with open(os.path.join(workdir, "overrides.json"), "w") as f:
+        json.dump(overrides, f)
+    latest = os.path.join("outputs", "0_latest_run")
+    try:
+        if os.path.islink(latest):
+            os.unlink(latest)
+        os.makedirs("outputs", exist_ok=True)
+        os.symlink(os.path.abspath(workdir), latest)
+    except OSError:
+        pass
+
+    from vlgae_tpu.data import DepDataModule, VLParseDataModule
+    from vlgae_tpu.training import Pipeline, build_model
+
+    dm_cfg = dict(cfg["datamodule"])
+    target = dm_cfg.pop("_target_", "VLParseDataModule")
+    dm_cls = VLParseDataModule if "VLParse" in target else DepDataModule
+    dm = dm_cls(**dm_cfg).setup()
+
+    if cfg.get("embedding", {}).get("use_subword"):
+        from vlgae_tpu.data.subword import HashSubwordTokenizer, HFTokenizer, attach_subwords
+
+        model_path = (cfg["embedding"].get("transformer", {})
+                      .get("args", {}).get("model", ""))
+        tok = (HFTokenizer(model_path) if os.path.isdir(str(model_path))
+               else HashSubwordTokenizer())
+        attach_subwords(dm, tok)
+
+    model = build_model(cfg, dm)
+    pipe = Pipeline(model, dm, cfg, workdir=workdir)
+    sample = next(dm.batches("train", shuffle=False))
+    pipe.init_state(sample, seed=seed)
+
+    trainer_cfg = cfg.get("trainer", {})
+    max_epochs = int(trainer_cfg.get("max_epochs", 50))
+    max_steps = int(trainer_cfg.get("max_steps", -1) or -1)
+
+    for epoch in range(max_epochs):
+        stats = pipe.train_epoch(epoch)
+        val, val_out = pipe.evaluate("dev")
+        line = {**stats, **{f"val/{k}": v for k, v in val.items()},
+                "epoch": epoch}
+        print(json.dumps(line))
+        watch = val.get(
+            pipe.watch_field.split("/", 1)[-1], val.get("loss")
+        )
+        if pipe.is_better(watch):
+            pipe.best = watch
+            pipe.save_checkpoint("best")
+            pipe.write_predictions(
+                os.path.join(workdir, "dev.predict.txt"), "dev", val_out
+            )
+        pipe.save_checkpoint("last")
+        if 0 < max_steps <= pipe.state.step:
+            break
+
+    # final test with the best checkpoint (ref: train.py:88-94)
+    best_path = os.path.join(workdir, "checkpoint", "best")
+    if os.path.exists(best_path):
+        pipe.load_checkpoint(best_path)
+    test, test_out = pipe.evaluate("test", metric_idx=1)
+    print(json.dumps({f"test/{k}": v for k, v in test.items()}))
+    pipe.write_predictions(
+        os.path.join(workdir, "test.predict.txt"), "test", test_out
+    )
+    return pipe, test
+
+
+if __name__ == "__main__":
+    main()

@@ -357,14 +357,15 @@ class Pipeline:
                 return f"{t} {x[0]}-{x[1]}"
             return f"{t} {x}"
 
-        # factors rows: [root, words..., root_arc, word arcs...]
-        if len(factors) > length + 1:
-            word_row = factors[idx + 1]
-            arc_row = factors[idx + 1 + (len(factors) // 2)]
+        # factors rows are mask-filtered: [words..., word arcs...]
+        # (ref: joint.py:640-654)
+        if len(factors) > length:
+            word_row = factors[idx]
+            arc_row = factors[idx + length]
             return "\t".join(
                 ["|".join(map(conv, word_row)), "|".join(map(conv, arc_row))]
             )
-        return "|".join(map(conv, factors[idx + 1]))
+        return "|".join(map(conv, factors[idx]))
 
     # -- best watcher (ref: pl_callback.py:169-292) -----------------------------
     def is_better(self, value: float) -> bool:

@@ -47,6 +47,7 @@ register_resolver("name_guard",
                   lambda n: "unnamed" if str(n) == "@@@AUTO@@@" else str(n))
 register_resolver("accelerator", lambda n: "dp" if int(n or 0) > 1 else None)
 register_resolver("oc.env", lambda k, d=None: os.environ.get(str(k), d))
+register_resolver("cwd", lambda *_: os.getcwd())
 
 
 def _deep_merge(base: dict, new: dict) -> dict:
