@@ -52,17 +52,31 @@ def bench_tpu():
         val, grads = jax.value_and_grad(
             lambda a_: jnp.sum(total_fn(d, a_, l))
         )(a)
-        return val, grads
+        # tiny reductions so a single final fetch transitively depends on
+        # every iteration's full forward+backward (remote backends may
+        # not honour block_until_ready)
+        return jnp.sum(val) + 1e-6 * jnp.sum(grads)
 
-    # warmup / compile
-    v, g = inside_outside(dec, attach, lengths)
-    jax.block_until_ready(g)
-    iters = 30
+    rng = np.random.default_rng(1)
+    noise = jnp.asarray(
+        rng.standard_normal((8,) + attach.shape).astype(np.float32) * 0.01
+    )
+    iters = 32
+
+    @jax.jit
+    def many(d, a, l, noise):
+        def body(acc, i):
+            a_i = a + noise[i % noise.shape[0]]
+            return acc + inside_outside(d, a_i, l), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(iters))
+        return acc
+
+    float(many(dec, attach, lengths, noise))  # compile + drain
     t0 = time.perf_counter()
-    for _ in range(iters):
-        v, g = inside_outside(dec, attach, lengths)
-    jax.block_until_ready(g)
+    final = float(many(dec, attach, lengths, noise))
     dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(final)
     return BATCH / dt
 
 

@@ -43,6 +43,29 @@ class DetFeatureLoader:
             first = np.load(str(self.root / f"{img_ids[0]}.npy"),
                             mmap_mode="r")
             self.feat_dim = first.shape[1] - 4
+
+        # native C++ fast path (no gold-mask mode there)
+        if not self.gold:
+            from . import native_io
+
+            if native_io.native_available():
+                paths = [self.root / f"{i}.npy" for i in img_ids]
+                seed = int(self.rng.integers(0, 2 ** 62))
+                packed = native_io.load_det_feats_batch(
+                    paths, P, self.feat_dim, self.sample, seed
+                )
+                if packed is not None:
+                    feats, boxes, masks = packed
+                    return {
+                        "vis_box_feat": feats,
+                        "vis_box_mask": masks,
+                        "vis_rel_mask": np.zeros((B, P, P), bool),
+                        "vis_available": masks[:, 0].copy(),
+                        "vis_box": boxes,
+                        "vis_box_index": np.tile(
+                            np.arange(P)[None], (B, 1)
+                        ),
+                    }
         feats = np.zeros((B, P, self.feat_dim), np.float32)
         boxes = np.zeros((B, P, 4), np.float32)
         masks = np.zeros((B, P), bool)

@@ -22,8 +22,7 @@ import numpy as np
 from flax import linen as fnn
 
 from ..struct import DMV1o
-from ..struct.dmv import dmv_marginals
-from ..struct.semirings import MaxSemiring
+from ..struct.distributions import dmv_grads_fast
 from .ldndmv import DiscriminativeNDMV, LDNDMVConfig
 from .nn import MLP
 
@@ -167,9 +166,9 @@ class DependencyBoxRel(fnn.Module):
         mdec = jax.lax.stop_gradient(lang_score["merged_dec"])
         mattach = jax.lax.stop_gradient(lang_score["merged_attach"])
         lengths = inputs["seq_len"]
-        _, marg = dmv_marginals(mdec, mattach, lengths)
+        _, marg = dmv_grads_fast(mdec, mattach, lengths, "log")
         arc_margin = marg.sum(-1)  # [B, L+1, L+1]
-        _, ind = dmv_marginals(mdec, mattach, lengths, MaxSemiring)
+        _, ind = dmv_grads_fast(mdec, mattach, lengths, "max")
         ind = ind.sum(-1)
         predicted = jnp.concatenate(
             [jnp.zeros((B, 1), jnp.int32),

@@ -283,9 +283,9 @@ def loss_init_pretrained(scores, dmv_scores, lengths):
     """Warmup against a frozen DMV's expected counts (ref: ldndmv.py:264-271)."""
     mdec = jax.lax.stop_gradient(dmv_scores["merged_dec"])
     mattach = jax.lax.stop_gradient(dmv_scores["merged_attach"])
-    from ..struct.dmv import dmv_marginals
+    from ..struct.distributions import dmv_grads_fast
 
-    gd, ga = dmv_marginals(mdec, mattach, lengths)
+    gd, ga = dmv_grads_fast(mdec, mattach, lengths, "log")
     enll = (
         -(gd * scores["merged_dec"]).sum()
         - (ga * scores["merged_attach"]).sum()

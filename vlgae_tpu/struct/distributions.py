@@ -58,6 +58,34 @@ def dmv_merge(dec, attach, root, one: float = 0.0, zero: float = NEGINF):
     return dec_w, attach_w
 
 
+def dmv_total_fast(dec, attach, lengths, kind: str = "log"):
+    """Backend-dispatched DMV semiring total.
+
+    Uses the Pallas TPU kernels (vlgae_tpu.ops) when running on a real
+    TPU backend -- including their hand-written outside-pass backward --
+    and the pure-JAX scan elsewhere. Both paths are custom-vjp/grad
+    compatible, so ``jax.grad`` of this function yields marginals (log)
+    or argmax indicators (max) either way.
+    """
+    from ..ops import dmv_max_pallas, dmv_partition_pallas, pallas_available
+    from ..ops.dmv_pallas import backward_fits_vmem
+
+    if pallas_available() and backward_fits_vmem(attach.shape[1]):
+        fn = dmv_partition_pallas if kind == "log" else dmv_max_pallas
+        return fn(dec, attach, lengths)
+    sr = LogSemiring if kind == "log" else MaxSemiring
+    return _dmv.dmv_partition(dec, attach, lengths, sr)
+
+
+def dmv_grads_fast(dec, attach, lengths, kind: str = "log"):
+    """d(total)/d(dec, attach) via the dispatched backend."""
+
+    def total(d, a):
+        return jnp.sum(dmv_total_fast(d, a, lengths, kind))
+
+    return jax.grad(total, argnums=(0, 1))(dec, attach)
+
+
 class DMV1o:
     """First-order valence DMV distribution (ref: distributions.py:245-265).
 
@@ -72,11 +100,11 @@ class DMV1o:
     # -- totals ------------------------------------------------------------
     @property
     def partition(self):
-        return _dmv.dmv_partition(self.dec, self.attach, self.lengths, LogSemiring)
+        return dmv_total_fast(self.dec, self.attach, self.lengths, "log")
 
     @property
     def max(self):
-        return _dmv.dmv_partition(self.dec, self.attach, self.lengths, MaxSemiring)
+        return dmv_total_fast(self.dec, self.attach, self.lengths, "max")
 
     @property
     def entropy(self):
@@ -117,18 +145,18 @@ class DMV1o:
     @property
     def marginals(self):
         """Attach marginals ``[B, N1, N1, 2]`` (ref: dmv.py:68-69)."""
-        _, a = _dmv.dmv_marginals(self.dec, self.attach, self.lengths, LogSemiring)
+        _, a = dmv_grads_fast(self.dec, self.attach, self.lengths, "log")
         return a
 
     @property
     def marginals_full(self):
         """(dec, attach) expected counts, as used by the EM E-step."""
-        return _dmv.dmv_marginals(self.dec, self.attach, self.lengths, LogSemiring)
+        return dmv_grads_fast(self.dec, self.attach, self.lengths, "log")
 
     @property
     def argmax(self):
         """Viterbi attach indicators ``[B, N1, N1, 2]``."""
-        _, a = _dmv.dmv_marginals(self.dec, self.attach, self.lengths, MaxSemiring)
+        _, a = dmv_grads_fast(self.dec, self.attach, self.lengths, "max")
         return a
 
     @property
@@ -136,6 +164,36 @@ class DMV1o:
         """Viterbi head array ``[B, N]`` (1-based heads, 0 = root)."""
         ind = self.argmax.sum(-1)  # [B, N1, N1]
         return jnp.argmax(ind[:, :, 1:], axis=1)
+
+    # -- sampling ------------------------------------------------------------
+    def sample(self, key, num_samples: int = 1):
+        """Exact FFBS samples: attach indicators ``[k, B, N1, N1, 2]``
+        (ref: distributions.py:195-217)."""
+        from .sample import SampledSemiring
+
+        def one(k):
+            S = SampledSemiring(k)
+
+            def total(a):
+                v, _ = _dmv.dmv_inside(self.dec, a, self.lengths, S)
+                return jnp.sum(S.unconvert(v))
+
+            return jax.grad(total)(self.attach)
+
+        return jax.vmap(one)(jax.random.split(key, num_samples))
+
+    def gumbel_crf(self, key, temperature: float = 1.0):
+        """Straight-through Gumbel relaxed sample
+        (ref: distributions.py:183-188)."""
+        from .sample import GumbelCRFSemiring
+
+        S = GumbelCRFSemiring(key, temperature)
+
+        def total(a):
+            v, _ = _dmv.dmv_inside(self.dec, a, self.lengths, S)
+            return jnp.sum(S.unconvert(v))
+
+        return jax.grad(total)(self.attach)
 
 
 class DependencyCRF:
@@ -194,6 +252,39 @@ class DependencyCRF:
     def argmax_heads(self):
         """Viterbi head array ``[B, N]`` (head of word j at column j+1)."""
         return jnp.argmax(self.argmax[:, :, 1:], axis=1)
+
+    def sample(self, key, num_samples: int = 1):
+        """Exact FFBS tree samples: arc indicators ``[k, B, N1, N1]``."""
+        from .sample import SampledSemiring
+
+        def one(k):
+            S = SampledSemiring(k)
+
+            def total(a):
+                v, _ = _deptree.deptree_inside(a, self.lengths, S)
+                return jnp.sum(S.unconvert(v))
+
+            return jax.grad(total)(self.arc)
+
+        return jax.vmap(one)(jax.random.split(key, num_samples))
+
+    def gumbel_crf(self, key, temperature: float = 1.0):
+        from .sample import GumbelCRFSemiring
+
+        S = GumbelCRFSemiring(key, temperature)
+
+        def total(a):
+            v, _ = _deptree.deptree_inside(a, self.lengths, S)
+            return jnp.sum(S.unconvert(v))
+
+        return jax.grad(total)(self.arc)
+
+    def kmax(self, k: int):
+        """Scores of the k best trees, ``[k, B]``."""
+        value, _ = _deptree.deptree_inside(
+            self.arc, self.lengths, KMaxSemiring(k)
+        )
+        return value
 
     def log_prob(self, heads):
         """Log-probability of head sequences ``[B, N]`` (1-based, 0=root)."""
