@@ -1,0 +1,99 @@
+"""Labeled trees, config composition, schedules, optimizer groups."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vlgae_tpu.struct import DependencyCRF, LogSemiring, MaxSemiring
+from vlgae_tpu.struct.deptree import deptree_partition
+from vlgae_tpu.utils.config import ConfigComposer, resolve
+from vlgae_tpu.utils.fn import coeff_at, parse_coeff_schedule, reduce_loss
+
+import oracles
+
+
+def test_labeled_deptree():
+    rng = np.random.default_rng(0)
+    n, L = 3, 4
+    arc_l = jnp.asarray(rng.standard_normal((1, n + 1, n + 1, L)))
+    lengths = jnp.asarray(np.array([n]))
+    got = np.asarray(deptree_partition(arc_l, lengths, LogSemiring))[0]
+    # partition over labeled trees == unlabeled partition of lse-over-labels
+    arc = np.asarray(jax.nn.logsumexp(arc_l, axis=-1))
+    want = oracles.brute_deptree(arc[0], n)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    # labeled argmax: grads w.r.t. labeled table select arcs AND labels
+    def total(a):
+        return jnp.sum(deptree_partition(a, lengths, MaxSemiring))
+
+    g = np.asarray(jax.grad(total)(arc_l))[0]
+    assert g.sum() == pytest.approx(n, abs=1e-4)  # one (arc,label) per word
+    per_arc = g.reshape(-1, L).sum(-1)
+    assert set(np.round(per_arc, 4)) <= {0.0, 1.0}
+
+
+def test_config_compose_vlgae():
+    cfg = ConfigComposer("configs").compose(
+        "config_train", ["exp=vlgae", "root=/tmp/x"]
+    )
+    cfg = resolve(cfg)
+    assert cfg["model"]["_target_"].endswith("DependencyBoxRel")
+    assert cfg["datamodule"]["max_len"]["train"] == 50  # exp override
+    assert cfg["datamodule"]["num_lex"] == 0
+    assert cfg["model"]["dep_model_cfg"]["head_ff"]["n_hidden"] == 256
+    assert cfg["model"]["dep_model_cfg"]["init_method"] == "y"  # relative interp
+    assert cfg["embedding"]["use_subword"] is True
+    assert cfg["optimizer"]["groups"][0]["lr"] == 1.0e-5
+    assert cfg["datamodule"]["train_path"] == "/tmp/x/data/vlparse/train"
+
+
+def test_config_overrides_dotted():
+    cfg = resolve(ConfigComposer("configs").compose(
+        "config_train",
+        ["exp=vlgae", "root=/tmp", "trainer.max_epochs=7", "_hidden_size=64"],
+    ))
+    assert cfg["trainer"]["max_epochs"] == 7
+    assert cfg["encoder"]["n_hidden"] == 64
+
+
+def test_coeff_schedule():
+    pts = parse_coeff_schedule("[0@0, 0.5@100]")
+    assert coeff_at(pts, 0) == 0
+    assert coeff_at(pts, 50) == pytest.approx(0.25)
+    assert coeff_at(pts, 100) == pytest.approx(0.5)
+    assert coeff_at(pts, 999) == pytest.approx(0.5)
+    assert parse_coeff_schedule(0.3) == [(0.3, 0)]
+
+
+def test_reduce_loss_modes():
+    assert reduce_loss(10.0, 5, 2, "token") == 2.0
+    assert reduce_loss(10.0, 5, 2, "batch") == 5.0
+    assert reduce_loss(10.0, 5, 2, "sum") == 10.0
+
+
+def test_optimizer_groups_and_frozen():
+    import optax
+
+    from vlgae_tpu.training.optim import build_optimizer
+
+    params = {
+        "dependency": {
+            "embedding": {"transformer": {"bert": {"w": jnp.ones(3)}}},
+            "head_ff": {"w": jnp.ones(3)},
+        }
+    }
+    tx, _ = build_optimizer(
+        params,
+        {"groups": [{"pattern": "head_ff", "lr": 0.1}],
+         "args": {"lr": 1e-3}},
+        frozen_patterns=[r"transformer.*bert"],
+    )
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    bert_up = updates["dependency"]["embedding"]["transformer"]["bert"]["w"]
+    head_up = updates["dependency"]["head_ff"]["w"]
+    assert np.allclose(np.asarray(bert_up), 0.0)  # frozen
+    assert np.allclose(np.abs(np.asarray(head_up)), 0.1, rtol=1e-3)

@@ -76,7 +76,10 @@ def main(argv=None):
     max_epochs = int(trainer_cfg.get("max_epochs", 50))
     max_steps = int(trainer_cfg.get("max_steps", -1) or -1)
 
+    pipe.normalize_embeddings("begin")
+    min_lr_stop = float(trainer_cfg.get("min_lr_stop", 0.0) or 0.0)
     for epoch in range(max_epochs):
+        pipe.normalize_embeddings("epoch")
         stats = pipe.train_epoch(epoch)
         val, val_out = pipe.evaluate("dev")
         line = {**stats, **{f"val/{k}": v for k, v in val.items()},
@@ -93,6 +96,11 @@ def main(argv=None):
             )
         pipe.save_checkpoint("last")
         if 0 < max_steps <= pipe.state.step:
+            break
+        # early stop when the lr schedule decays below the floor
+        # (ref: pl_callback.py:152-166)
+        if min_lr_stop > 0 and pipe.current_lr() < min_lr_stop:
+            print(json.dumps({"early_stop": "lr below min", "epoch": epoch}))
             break
 
     # final test with the best checkpoint (ref: train.py:88-94)

@@ -361,3 +361,67 @@ def mst(scores, seq_len):
         n = int(seq_len[b])
         out[b, 1 : n + 1] = chuliu_edmonds(scores[b, : n + 1, : n + 1])
     return out
+
+
+def eisner2o_grand(scores, lens):
+    """Second-order grandparent-factored log-partition (ref: alg.py:226-284).
+
+    ``scores``: (s_arc [B, N1, N1] with s_arc[b, d, h], s_grand
+    [B, N1, N1, N1] with s_grand[b, g, p, c]). Each dependent ``v`` with
+    parent ``p`` contributes grandparent factors for its outermost child
+    in each direction (or itself when childless in that direction, via
+    the width-0 ``c[h, h, h]`` sentinel). Returns logZ [B] over
+    single-root projective trees.
+    """
+    s_arc, s_grand = scores
+    s_arc = np.asarray(s_arc, dtype=np.float64)
+    s_grand = np.asarray(s_grand, dtype=np.float64)
+    B = s_arc.shape[0]
+    out = np.zeros(B)
+    for b in range(B):
+        n1 = int(lens[b]) + 1
+        out[b] = float(_grand_one(
+            s_arc[b, :n1, :n1].T,  # -> s_a[h, d]
+            s_grand[b, :n1, :n1, :n1],
+        ))
+    return out
+
+
+def _lse(x, axis=None):
+    m = np.max(x, axis=axis, keepdims=True)
+    out = m + np.log(np.sum(np.exp(x - m), axis=axis, keepdims=True))
+    return np.squeeze(out, axis=axis) if axis is not None else out
+
+
+def _grand_one(s_a, s_g):
+    n1 = s_a.shape[0]
+    s_i = np.full((n1, n1), NEG)
+    s_c = np.full((n1, n1, n1), NEG)  # [head, end, outermost-child]
+    for i in range(n1):
+        s_c[i, i, i] = 0.0
+    for w in range(1, n1):
+        for i in range(n1 - w):
+            j = i + w
+            # incomplete right: head i, dep j
+            terms = [
+                _lse(s_c[i, r]) + _lse(s_g[i, j] + s_c[j, r + 1])
+                for r in range(i, j)
+            ]
+            s_i[i, j] = _lse(np.array(terms)) + s_a[i, j]
+            # incomplete left: head j, dep i
+            terms = [
+                _lse(s_g[j, i] + s_c[i, r]) + _lse(s_c[j, r + 1])
+                for r in range(i, j)
+            ]
+            s_i[j, i] = _lse(np.array(terms)) + s_a[j, i]
+            # complete right: c(i, j, r) = i(i, r) + lse_k g(i,r,k)+c(r,j,k)
+            for t in range(w):
+                r = i + 1 + t
+                s_c[i, j, r] = s_i[i, r] + _lse(s_g[i, r] + s_c[r, j])
+            # complete left: c(j, i, r) = lse_k g(j,r,k)+c(r,i,k) + i(j, r)
+            for t in range(w):
+                r = i + t
+                s_c[j, i, r] = _lse(s_g[j, r] + s_c[r, i]) + s_i[j, r]
+            if i == 0 and w != n1 - 1:
+                s_c[0, j, :] = NEG
+    return _lse(s_c[0, n1 - 1])

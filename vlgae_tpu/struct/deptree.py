@@ -62,7 +62,10 @@ def deptree_inside(arc, lengths, semiring: type[Semiring] = LogSemiring):
 
     Args:
       arc: ``[B, N1, N1]`` arc log-potentials, ``arc[b, h, c]`` scores the
-        arc head ``h`` -> child ``c``; row 0 holds root scores.
+        arc head ``h`` -> child ``c``; row 0 holds root scores. A labeled
+        ``[B, N1, N1, L]`` table is summed over labels first
+        (ref: deptree.py:41); gradients still flow to the labeled table,
+        so max-semiring marginals give labeled argmax indicators.
       lengths: ``[B]`` word counts (excluding root).
       semiring: semiring class.
 
@@ -70,7 +73,10 @@ def deptree_inside(arc, lengths, semiring: type[Semiring] = LogSemiring):
       ``(value, charts)`` with ``value`` stacked ``[s, B]``.
     """
     S = semiring
-    arc = _convert(S, arc)
+    if not isinstance(arc, (tuple, list)) and arc.ndim == 4:
+        arc = S.sum(_convert(S, arc), axis=-1)
+    else:
+        arc = _convert(S, arc)
     arc = S.mask(
         arc,
         (jnp.arange(arc.shape[2])[None, :, None] <= lengths[:, None, None])

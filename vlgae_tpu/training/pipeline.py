@@ -124,11 +124,39 @@ class Pipeline:
             frozen_patterns=frozen,
         )
         self.tx = tx
+        self._schedule = schedule
         opt_state = tx.init(params)
         params = replicate(params, self.mesh)
         opt_state = replicate(opt_state, self.mesh)
         self.state = TrainState(params, opt_state, 0, 0, rng)
         return self.state
+
+    # -- embedding normalization schedule (ref: embedding.py:116-119,
+    #    pipeline.py:86-110) --------------------------------------------------
+    def normalize_embeddings(self, when: str):
+        from ..models.embedding import normalize_embedding_params
+
+        emb = (self.model.dependency.embedding if self.is_joint
+               else self.model.embedding)
+        flat = traverse_util.flatten_dict(self.state.params)
+        for item in emb.items:
+            if item.kind != "static" or item.normalize_time != when:
+                continue
+            for path in flat:
+                if item.name in path and path[-1] == "embedding":
+                    self.state.params = normalize_embedding_params(
+                        self.state.params, path, item.normalize_method
+                    )
+                    break
+
+    def current_lr(self) -> float:
+        base = float(
+            self.cfg.get("optimizer", {}).get("args", {}).get("lr", 1e-3)
+        )
+        sched = getattr(self, "_schedule", None)
+        if sched is None:
+            return base
+        return float(sched(self.state.step))
 
     # -- loss assembly ------------------------------------------------------
     def _alpha(self, epoch: int) -> float:
