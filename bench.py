@@ -61,7 +61,9 @@ def bench_tpu():
     noise = jnp.asarray(
         rng.standard_normal((8,) + attach.shape).astype(np.float32) * 0.01
     )
-    iters = 32
+    # enough iterations that the host<->device dispatch round-trip
+    # (~30ms on tunneled backends) is amortized to <1%
+    iters = 256
 
     @jax.jit
     def many(d, a, l, noise):
