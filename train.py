@@ -76,6 +76,11 @@ def main(argv=None):
     max_epochs = int(trainer_cfg.get("max_epochs", 50))
     max_steps = int(trainer_cfg.get("max_steps", -1) or -1)
 
+    from vlgae_tpu.utils.logger import MetricLogger
+
+    mlog = MetricLogger(workdir, use_wandb=bool(cfg.get("wandb")),
+                        project=str(cfg.get("project", "vlgae_tpu")),
+                        name=str(cfg.get("name", "run")))
     pipe.normalize_embeddings("begin")
     min_lr_stop = float(trainer_cfg.get("min_lr_stop", 0.0) or 0.0)
     for epoch in range(max_epochs):
@@ -84,7 +89,7 @@ def main(argv=None):
         val, val_out = pipe.evaluate("dev")
         line = {**stats, **{f"val/{k}": v for k, v in val.items()},
                 "epoch": epoch}
-        print(json.dumps(line))
+        mlog.log(line, step=pipe.state.step)
         watch = val.get(
             pipe.watch_field.split("/", 1)[-1], val.get("loss")
         )
@@ -108,7 +113,7 @@ def main(argv=None):
     if os.path.exists(best_path):
         pipe.load_checkpoint(best_path)
     test, test_out = pipe.evaluate("test", metric_idx=1)
-    print(json.dumps({f"test/{k}": v for k, v in test.items()}))
+    mlog.log({f"test/{k}": v for k, v in test.items()}, step=pipe.state.step)
     pipe.write_predictions(
         os.path.join(workdir, "test.predict.txt"), "test", test_out
     )

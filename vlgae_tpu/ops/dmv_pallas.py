@@ -177,31 +177,44 @@ def _inside_kernel(n1, n1r, is_max,
     )
 
 
+def _inside_kernel_save(n1, n1r, is_max,
+                        attL_ref, attR_ref, seedR_ref, seedL_ref, len_ref,
+                        out_ref, Cr, Cl, Ir, Il, padA, padB):
+    """Variant whose charts ARE output refs: the fill works directly in
+    the output VMEM blocks, so saving residuals for the backward costs
+    nothing beyond the HBM write-back of the blocks."""
+    out_ref[0, :] = _inside_fill(
+        n1, n1r, is_max, attL_ref, attR_ref, seedR_ref, seedL_ref,
+        len_ref, Cr, Cl, Ir, Il, padA, padB,
+    )
+
+
 # ---------------------------------------------------------------------------
 # backward (outside) kernel
 # ---------------------------------------------------------------------------
 
 
 def _outside_kernel(n1, n1r, is_max,
-                    attL_ref, attR_ref, seedR_ref, seedL_ref, len_ref,
-                    gout_ref, logz_ref,
+                    attL_ref, attR_ref, len_ref,
+                    gout_ref, logz_ref, Cr, Cl, Ir, Il,
                     gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
-                    Cr, Cl, Ir, Il, OCr, OCl, OIr, OIl, padA, padB, padC):
-    """Outside pass: recompute inside charts, then walk widths downward.
+                    OCr, OCl, OIr, OIl, padA, padB, padC):
+    """Outside pass over saved inside charts, walking widths downward.
 
     Adjoints ``O*`` are log-domain outside scores. For the log semiring
     the gradient of logZ w.r.t. a log-potential is
     ``exp(inside + outside - logZ)``; for the max semiring it is the
     on-best-path indicator. The incoming cotangent ``gout`` scales the
-    final gradients.
+    final gradients. The inside charts (``Cr/Cl/Ir/Il``) are read-only
+    inputs saved by the forward, so the backward does not recompute the
+    inside pass.
     """
 
     def plus(a, b):
         return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
 
-    _inside_fill(n1, n1r, is_max, attL_ref, attR_ref, seedR_ref, seedL_ref,
-                 len_ref, Cr, Cl, Ir, Il, padA, padB)
-
+    padA[:, :, :] = jnp.full(padA.shape, NEGINF, jnp.float32)
+    padB[:, :, :] = jnp.full(padB.shape, NEGINF, jnp.float32)
     neg_all = jnp.full((n1, 2, n1r, BT), NEGINF, jnp.float32)
     OCr[:, :, :, :] = neg_all
     OCl[:, :, :, :] = neg_all
@@ -387,19 +400,46 @@ def _unprep_grads(gattL, gattR, gseedR, gseedL, n1):
     return g_dec, g_attach
 
 
-def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
-                        interpret):
-    n1, _, n1r, B = attL.shape
-    grid = (B // BT,)
-    chart = lambda: pltpu.VMEM((n1, 2, n1r, BT), jnp.float32)
-    pad = lambda: pltpu.VMEM((2, _round8(n1 + n1r), BT), jnp.float32)
-    kernel = functools.partial(_inside_kernel, n1, n1r, is_max)
+def _specs(n1, n1r):
     att_spec = pl.BlockSpec((n1, 2, n1r, BT), lambda g: (0, 0, 0, g),
                             memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec((2, n1r, BT), lambda g: (0, 0, g),
                              memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, BT), lambda g: (0, g),
                             memory_space=pltpu.VMEM)
+    return att_spec, seed_spec, row_spec
+
+
+def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
+                        interpret, save_charts: bool = False):
+    n1, _, n1r, B = attL.shape
+    grid = (B // BT,)
+    chart = lambda: pltpu.VMEM((n1, 2, n1r, BT), jnp.float32)
+    pad = lambda: pltpu.VMEM((2, _round8(n1 + n1r), BT), jnp.float32)
+    att_spec, seed_spec, row_spec = _specs(n1, n1r)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cost = pl.CostEstimate(
+        flops=12 * n1 ** 3 * B,
+        bytes_accessed=(2 * n1 * n1 * 2 + 4 * n1 * 2 + 3) * B * 4,
+        transcendentals=0 if is_max else 6 * n1 ** 3 * B,
+    )
+    if save_charts:
+        kernel = functools.partial(_inside_kernel_save, n1, n1r, is_max)
+        chart_shape = jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32)
+        out, Cr, Cl, Ir, Il = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[att_spec, att_spec, seed_spec, seed_spec, row_spec],
+            out_specs=(row_spec, att_spec, att_spec, att_spec, att_spec),
+            out_shape=(jax.ShapeDtypeStruct((1, B), jnp.float32),
+                       chart_shape, chart_shape, chart_shape, chart_shape),
+            scratch_shapes=[pad(), pad()],
+            compiler_params=params,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(attL, attR, seedR, seedL, lengths)
+        return out[0], (Cr, Cl, Ir, Il)
+    kernel = functools.partial(_inside_kernel, n1, n1r, is_max)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -407,37 +447,26 @@ def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
         scratch_shapes=[chart(), chart(), chart(), chart(), pad(), pad()],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
+        compiler_params=params,
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=12 * n1 ** 3 * B,
-            bytes_accessed=(2 * n1 * n1 * 2 + 4 * n1 * 2 + 3) * B * 4,
-            transcendentals=0 if is_max else 6 * n1 ** 3 * B,
-        ),
+        cost_estimate=cost,
     )(attL, attR, seedR, seedL, lengths)
-    return out[0]
+    return out[0], None
 
 
-def _pallas_outside_call(attL, attR, seedR, seedL, lengths, gout, logz, *,
+def _pallas_outside_call(attL, attR, lengths, gout, logz, charts, *,
                          is_max, interpret):
     n1, _, n1r, B = attL.shape
     grid = (B // BT,)
     chart = lambda: pltpu.VMEM((n1, 2, n1r, BT), jnp.float32)
     pad = lambda: pltpu.VMEM((2, _round8(n1 + n1r), BT), jnp.float32)
+    att_spec, seed_spec, row_spec = _specs(n1, n1r)
     kernel = functools.partial(_outside_kernel, n1, n1r, is_max)
-    att_spec = pl.BlockSpec((n1, 2, n1r, BT), lambda g: (0, 0, 0, g),
-                            memory_space=pltpu.VMEM)
-    seed_spec = pl.BlockSpec((2, n1r, BT), lambda g: (0, 0, g),
-                             memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, BT), lambda g: (0, g),
-                            memory_space=pltpu.VMEM)
     gattL, gattR, gseedR, gseedL = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[att_spec, att_spec, seed_spec, seed_spec, row_spec,
-                  row_spec, row_spec],
+        in_specs=[att_spec, att_spec, row_spec, row_spec, row_spec,
+                  att_spec, att_spec, att_spec, att_spec],
         out_specs=(att_spec, att_spec, seed_spec, seed_spec),
         out_shape=(
             jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
@@ -445,17 +474,17 @@ def _pallas_outside_call(attL, attR, seedR, seedL, lengths, gout, logz, *,
             jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
             jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
         ),
-        scratch_shapes=[chart() for _ in range(8)] + [pad(), pad(), pad()],
+        scratch_shapes=[chart() for _ in range(4)] + [pad(), pad(), pad()],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=36 * n1 ** 3 * B,
-            bytes_accessed=(4 * n1 * n1 * 2 + 8 * n1 * 2 + 4) * B * 4,
-            transcendentals=0 if is_max else 18 * n1 ** 3 * B,
+            flops=24 * n1 ** 3 * B,
+            bytes_accessed=(8 * n1 * n1 * 2 + 8 * n1 * 2 + 4) * B * 4,
+            transcendentals=0 if is_max else 12 * n1 ** 3 * B,
         ),
-    )(attL, attR, seedR, seedL, lengths, gout, logz)
+    )(attL, attR, lengths, gout, logz, *charts)
     return gattL, gattR, gseedR, gseedL
 
 
@@ -471,44 +500,46 @@ def _pad_batch(x, fill):
 def _make_dmv_total(is_max: bool, interpret: bool):
     @jax.custom_vjp
     def total(dec, attach, lengths):
-        return _fwd(dec, attach, lengths)[0]
-
-    def _fwd(dec, attach, lengths):
-        n1 = attach.shape[1]
         B = attach.shape[0]
+        value, _, _, _ = _call_inside(dec, attach, lengths, False)
+        return value[:B]
+
+    def _call_inside(dec, attach, lengths, save):
+        n1 = attach.shape[1]
         n1r = _round8(n1)
         attL, attR, seedR, seedL = _prep_inputs(
             dec.astype(jnp.float32), attach.astype(jnp.float32), n1r
         )
         lrow = lengths.astype(jnp.int32)[None, :]
-        value = _pallas_inside_call(
-            _pad_batch(attL, NEGINF),
-            _pad_batch(attR, NEGINF),
+        attL = _pad_batch(attL, NEGINF)
+        attR = _pad_batch(attR, NEGINF)
+        value, charts = _pallas_inside_call(
+            attL, attR,
             _pad_batch(seedR, NEGINF),
             _pad_batch(seedL, NEGINF),
             _pad_batch(lrow, 1),
             is_max=is_max,
             interpret=interpret,
-        )[:B]
-        return value, (dec, attach, lengths, value)
+            save_charts=save,
+        )
+        return value, charts, attL, attR
+
+    def _fwd(dec, attach, lengths):
+        B = attach.shape[0]
+        value, charts, attL, attR = _call_inside(dec, attach, lengths, True)
+        return value[:B], (dec, attach, lengths, value, charts, attL, attR)
 
     def _bwd(res, g):
-        dec, attach, lengths, value = res
-        n1 = attach.shape[1]
-        B = attach.shape[0]
-        n1r = _round8(n1)
-        attL, attR, seedR, seedL = _prep_inputs(
-            dec.astype(jnp.float32), attach.astype(jnp.float32), n1r
-        )
+        dec, attach, lengths, value, charts, attL, attR = res
+        dec_dtype, attach_dtype = dec.dtype, attach.dtype
+        B, n1 = attach.shape[:2]
         lrow = lengths.astype(jnp.int32)[None, :]
         gattL, gattR, gseedR, gseedL = _pallas_outside_call(
-            _pad_batch(attL, NEGINF),
-            _pad_batch(attR, NEGINF),
-            _pad_batch(seedR, NEGINF),
-            _pad_batch(seedL, NEGINF),
+            attL, attR,
             _pad_batch(lrow, 1),
             _pad_batch(g.astype(jnp.float32)[None, :], 0.0),
             _pad_batch(value.astype(jnp.float32)[None, :], 0.0),
+            charts,
             is_max=is_max,
             interpret=interpret,
         )
@@ -516,7 +547,7 @@ def _make_dmv_total(is_max: bool, interpret: bool):
             gattL[..., :B], gattR[..., :B], gseedR[..., :B],
             gseedL[..., :B], n1,
         )
-        return g_dec.astype(dec.dtype), g_attach.astype(attach.dtype), None
+        return g_dec.astype(dec_dtype), g_attach.astype(attach_dtype), None
 
     total.defvjp(_fwd, _bwd)
     return total
