@@ -83,22 +83,30 @@ def main(argv=None):
                         name=str(cfg.get("name", "run")))
     pipe.normalize_embeddings("begin")
     min_lr_stop = float(trainer_cfg.get("min_lr_stop", 0.0) or 0.0)
-    for epoch in range(max_epochs):
-        pipe.normalize_embeddings("epoch")
-        stats = pipe.train_epoch(epoch)
+    val_check = float(trainer_cfg.get("val_check_interval", 1.0) or 1.0)
+
+    def run_validation(epoch):
         val, val_out = pipe.evaluate("dev")
-        line = {**stats, **{f"val/{k}": v for k, v in val.items()},
-                "epoch": epoch}
-        mlog.log(line, step=pipe.state.step)
-        watch = val.get(
-            pipe.watch_field.split("/", 1)[-1], val.get("loss")
-        )
+        watch = val.get(pipe.watch_field.split("/", 1)[-1], val.get("loss"))
         if pipe.is_better(watch):
             pipe.best = watch
             pipe.save_checkpoint("best")
             pipe.write_predictions(
                 os.path.join(workdir, "dev.predict.txt"), "dev", val_out
             )
+        return val
+
+    for epoch in range(max_epochs):
+        pipe.normalize_embeddings("epoch")
+        stats = pipe.train_epoch(
+            epoch,
+            val_fn=lambda e=None: run_validation(epoch),
+            val_check_interval=val_check,
+        )
+        val = run_validation(epoch)
+        line = {**stats, **{f"val/{k}": v for k, v in val.items()},
+                "epoch": epoch}
+        mlog.log(line, step=pipe.state.step)
         pipe.save_checkpoint("last")
         if 0 < max_steps <= pipe.state.step:
             break

@@ -267,7 +267,11 @@ class Pipeline:
             y["root_rule"] = root_rule
         return x, y
 
-    def train_epoch(self, epoch: int, log_every: int = 50):
+    def train_epoch(self, epoch: int, log_every: int = 50,
+                    val_fn: Optional[Callable] = None,
+                    val_check_interval: float = 1.0):
+        """One training epoch; ``val_fn`` is invoked mid-epoch when
+        ``val_check_interval`` < 1 (ref: trainer val_check_interval)."""
         st = self.state
         st.epoch = epoch
         init_phase = (
@@ -280,7 +284,14 @@ class Pipeline:
         alpha = self._alpha(epoch)
         losses = []
         t0 = time.time()
+        sampler_len = len(self.dm.make_sampler(split))
+        val_every = (
+            max(1, int(sampler_len * val_check_interval))
+            if val_fn is not None and 0 < val_check_interval < 1 else None
+        )
         for i, (x, y) in enumerate(self.dm.batches(split)):
+            if val_every and i > 0 and i % val_every == 0:
+                val_fn()
             x, y = self._prep_batch(x, y, init_phase)
             x, _ = pad_batch_to_devices(x, self.n_devices)
             y, _ = pad_batch_to_devices(y, self.n_devices)
