@@ -67,10 +67,29 @@ def main(argv=None):
                else HashSubwordTokenizer())
         attach_subwords(dm, tok)
 
+    # persist vocabularies next to the run (ref: datamodule.py:222-224)
+    for vname, vocab in dm.vocabs.items():
+        vocab.save(os.path.join(workdir, f"vocab_{vname}.txt"))
+
     model = build_model(cfg, dm)
     pipe = Pipeline(model, dm, cfg, workdir=workdir)
     sample = next(dm.batches("train", shuffle=False))
     pipe.init_state(sample, seed=seed)
+
+    # warm-start / resume (ref: train.py:76-77 resume vs load_from_checkpoint)
+    warm = cfg.get("pipeline", {}).get("load_from_checkpoint")
+    resume = trainer_cfg.get("resume_from_checkpoint")
+    if warm:
+        pipe.load_checkpoint(warm)
+    elif resume:
+        pipe.load_checkpoint(resume)
+        meta_path = str(resume) + ".json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            pipe.state.step = int(meta.get("step", 0))
+            pipe.state.epoch = int(meta.get("epoch", 0))
+            pipe.best = meta.get("best")
 
     trainer_cfg = cfg.get("trainer", {})
     max_epochs = int(trainer_cfg.get("max_epochs", 50))

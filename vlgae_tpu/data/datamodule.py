@@ -155,8 +155,18 @@ class DataModule:
         )
 
     def batches(self, name, shuffle=None):
-        """Yield (x, y) padded NumPy batch dicts."""
-        sampler = self.make_sampler(name, shuffle)
+        """Yield (x, y) padded NumPy batch dicts.
+
+        Samplers are cached per (split, shuffle) so the epoch-seeded
+        reshuffle advances across epochs (ref: sampler.py:89-95).
+        """
+        key = (name, shuffle)
+        if not hasattr(self, "_sampler_cache"):
+            self._sampler_cache = {}
+        sampler = self._sampler_cache.get(key)
+        if sampler is None:
+            sampler = self.make_sampler(name, shuffle)
+            self._sampler_cache[key] = sampler
         ds = self.datasets[name]
         for batch_idx in sampler:
             yield self.collate(name, [ds[i] for i in batch_idx],
