@@ -75,6 +75,7 @@ def main(argv=None):
     pipe = Pipeline(model, dm, cfg, workdir=workdir)
     sample = next(dm.batches("train", shuffle=False))
     pipe.init_state(sample, seed=seed)
+    trainer_cfg = cfg.get("trainer", {})
 
     # warm-start / resume (ref: train.py:76-77 resume vs load_from_checkpoint)
     warm = cfg.get("pipeline", {}).get("load_from_checkpoint")
@@ -91,7 +92,6 @@ def main(argv=None):
             pipe.state.epoch = int(meta.get("epoch", 0))
             pipe.best = meta.get("best")
 
-    trainer_cfg = cfg.get("trainer", {})
     max_epochs = int(trainer_cfg.get("max_epochs", 50))
     max_steps = int(trainer_cfg.get("max_steps", -1) or -1)
 
