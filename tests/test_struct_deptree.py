@@ -119,3 +119,22 @@ def test_nonproj_partition_mtt():
     want = oracles.logsumexp(totals)
     # eps regularisation in the laplacian makes this approximate
     np.testing.assert_allclose(got, want, rtol=1e-2)
+
+
+def test_eisner_as_dmv_emulation():
+    """The Pallas dispatch maps Eisner -> DMV with free decisions; verify
+    the mapping itself on the scan backend."""
+    from vlgae_tpu.struct import dmv_partition, NEGINF
+    from vlgae_tpu.struct.dmv import HASCHILD
+
+    rng = np.random.default_rng(123)
+    ns = [3, 5, 4]
+    arc, lengths = batch_arcs(rng, ns)
+    B, N1 = arc.shape[:2]
+    dec = jnp.zeros((B, N1, 2, 2, 2), jnp.float32)
+    attach = jnp.stack([arc, arc], axis=-1)
+    attach = attach.at[:, 0, :, HASCHILD].set(NEGINF)
+    for sr in (LogSemiring, MaxSemiring):
+        want = np.asarray(deptree_partition(arc, lengths, sr))
+        got = np.asarray(dmv_partition(dec, attach, lengths, sr))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -54,17 +54,22 @@ def _round8(x):
 
 
 def backward_fits_vmem(n1: int) -> bool:
-    """Whether the 8-chart outside kernel fits VMEM at the 128-lane tile."""
+    """Whether the outside kernel's buffers fit VMEM at the 128-lane tile.
+
+    v5e has 128 MiB of VMEM; we allow up to ~90 MiB for the 12
+    chart-sized buffers (4 saved inside charts + 4 outside scratch +
+    2 attach inputs + 2 grad outputs). Verified on hardware at n1 = 65
+    (sentence length 64).
+    """
     n1r = _round8(n1)
     chart = n1 * 2 * n1r * BT * 4
-    total = 12 * chart  # 8 scratch charts + 2 att inputs + 2 grad outputs
-    return total <= 14 * 1024 * 1024
+    return 12 * chart <= 90 * 1024 * 1024
 
 
 def forward_fits_vmem(n1: int) -> bool:
     n1r = _round8(n1)
     chart = n1 * 2 * n1r * BT * 4
-    return 6 * chart <= 14 * 1024 * 1024
+    return 6 * chart <= 90 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------

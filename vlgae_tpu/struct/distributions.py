@@ -196,6 +196,46 @@ class DMV1o:
         return jax.grad(total)(self.attach)
 
 
+def deptree_total_fast(arc, lengths, kind: str = "log"):
+    """Backend-dispatched Eisner CRF total.
+
+    On TPU this reuses the DMV Pallas kernels: an Eisner CRF is exactly
+    a DMV with free (zero) decisions and valence-independent attach
+    scores -- the tree score reduces to the sum of arc scores. Labeled
+    potentials are semiring-summed over labels first.
+    """
+    from ..ops import dmv_max_pallas, dmv_partition_pallas, pallas_available
+    from ..ops.dmv_pallas import backward_fits_vmem
+
+    if (
+        not isinstance(arc, (tuple, list))
+        and pallas_available()
+        and backward_fits_vmem(arc.shape[1])
+    ):
+        if arc.ndim == 4:  # labeled: reduce labels (ref: deptree.py:41)
+            arc = (
+                jax.nn.logsumexp(arc, axis=-1) if kind == "log"
+                else jnp.max(arc, axis=-1)
+            )
+        B, N1 = arc.shape[:2]
+        dec = jnp.zeros((B, N1, 2, 2, 2), jnp.float32)
+        attach = jnp.stack([arc, arc], axis=-1)
+        # only one root child: the second root attachment would use
+        # HASCHILD valence (matches dmv_merge's root row)
+        attach = attach.at[:, 0, :, HASCHILD].set(NEGINF)
+        fn = dmv_partition_pallas if kind == "log" else dmv_max_pallas
+        return fn(dec, attach, lengths)
+    sr = LogSemiring if kind == "log" else MaxSemiring
+    return _deptree.deptree_partition(arc, lengths, sr)
+
+
+def deptree_grads_fast(arc, lengths, kind: str = "log"):
+    def total(a):
+        return jnp.sum(deptree_total_fast(a, lengths, kind))
+
+    return jax.grad(total)(arc)
+
+
 class DependencyCRF:
     """Single-root projective dependency CRF (ref: distributions.py:269-298)."""
 
@@ -210,11 +250,11 @@ class DependencyCRF:
 
     @property
     def partition(self):
-        return _deptree.deptree_partition(self.arc, self.lengths, LogSemiring)
+        return deptree_total_fast(self.arc, self.lengths, "log")
 
     @property
     def max(self):
-        return _deptree.deptree_partition(self.arc, self.lengths, MaxSemiring)
+        return deptree_total_fast(self.arc, self.lengths, "max")
 
     @property
     def entropy(self):
@@ -242,11 +282,11 @@ class DependencyCRF:
 
     @property
     def marginals(self):
-        return _deptree.deptree_marginals(self.arc, self.lengths, LogSemiring)
+        return deptree_grads_fast(self.arc, self.lengths, "log")
 
     @property
     def argmax(self):
-        return _deptree.deptree_marginals(self.arc, self.lengths, MaxSemiring)
+        return deptree_grads_fast(self.arc, self.lengths, "max")
 
     @property
     def argmax_heads(self):
