@@ -347,9 +347,15 @@ class VLParseDataModule(DepDataModule):
             img_id = [int(line.strip()) for line in f]
         if len(img_id) != len(insts):
             img_id = [i for i in img_id for _ in range(5)]
+        # optional whole-image features (ref: vlparse.py:152-155)
+        img_feat = None
+        if self.use_img and os.path.exists(path + ".npy"):
+            img_feat = np.load(path + ".npy").repeat(5, 0)
         for i, inst in enumerate(insts):
             inst["img_id"] = img_id[i]
             inst["img_sent_id"] = i % 5
+            if img_feat is not None and i < len(img_feat):
+                inst["vis_img"] = img_feat[i]
             self._process_sg(inst)
         feat_dir = Path(folder) / (
             "gold_feats" if self.use_gold_scene_graph else "det_feats"
@@ -411,6 +417,10 @@ class VLParseDataModule(DepDataModule):
         y["vis_box"] = vis.pop("vis_box")
         x.update(vis)
         x["img_id"] = np.array([i["img_id"] for i in insts], np.int64)
+        if self.use_img and "vis_img" in insts[0]:
+            x["vis_img"] = np.stack(
+                [i["vis_img"] for i in insts]
+            ).astype(np.float32)
         return x, y
 
 
