@@ -164,3 +164,19 @@ def test_kmax_top_scores():
         reverse=True,
     )
     np.testing.assert_allclose(got, scores[:k], rtol=1e-4)
+
+
+def test_topk_structures():
+    n = 3
+    rng = np.random.default_rng(6)
+    dec, attach, root = random_potentials(rng, n)
+    mdec, mattach, lengths = merged_batch([(dec, attach, root)])
+    dist = DMV1o((mdec, mattach), lengths)
+    k = 3
+    inds = np.asarray(dist.topk(k))  # [k, 1, n+1, n+1, 2]
+    trees = list(oracles.all_trees(n))
+    scores = [oracles.score_dmv(dec, attach, root, h) for h in trees]
+    order = np.argsort(scores)[::-1]
+    for i in range(k):
+        heads = np.argmax(inds[i, 0].sum(-1)[:, 1:n + 1], axis=0)
+        np.testing.assert_array_equal(heads, trees[order[i]])

@@ -104,6 +104,12 @@ def main(argv=None):
     min_lr_stop = float(trainer_cfg.get("min_lr_stop", 0.0) or 0.0)
     val_check = float(trainer_cfg.get("val_check_interval", 1.0) or 1.0)
 
+    # optional device profiling (jax.profiler trace into the run dir)
+    if cfg.get("profile"):
+        import jax
+
+        jax.profiler.start_trace(os.path.join(workdir, "profile"))
+
     def run_validation(epoch):
         val, val_out = pipe.evaluate("dev")
         watch = val.get(pipe.watch_field.split("/", 1)[-1], val.get("loss"))
@@ -134,6 +140,11 @@ def main(argv=None):
         if min_lr_stop > 0 and pipe.current_lr() < min_lr_stop:
             print(json.dumps({"early_stop": "lr below min", "epoch": epoch}))
             break
+
+    if cfg.get("profile"):
+        import jax
+
+        jax.profiler.stop_trace()
 
     # final test with the best checkpoint (ref: train.py:88-94)
     best_path = os.path.join(workdir, "checkpoint", "best")

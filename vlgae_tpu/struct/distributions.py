@@ -141,6 +141,21 @@ class DMV1o:
         )
         return value
 
+    def topk(self, k: int):
+        """Attach indicators of the k best trees, ``[k, B, N1, N1, 2]``
+        (ref: distributions.py:146-156): grads of the i-th kmax channel
+        route through that tree's top-k selections."""
+        S = KMaxSemiring(k)
+
+        def channel(i):
+            def total(a):
+                v, _ = _dmv.dmv_inside(self.dec, a, self.lengths, S)
+                return jnp.sum(v[i])
+
+            return jax.grad(total)(self.attach)
+
+        return jnp.stack([channel(i) for i in range(k)])
+
     # -- gradients -----------------------------------------------------------
     @property
     def marginals(self):

@@ -408,6 +408,9 @@ class Pipeline:
 
     # -- best watcher (ref: pl_callback.py:169-292) -----------------------------
     def is_better(self, value: float) -> bool:
+        if value is None or not math.isfinite(float(value)):
+            # NaN guard on the monitored metric (ref: pl_callback.py:252-253)
+            return False
         if self.best is None:
             return True
         return value < self.best if self.watch_mode == "min" else value > self.best
