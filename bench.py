@@ -163,12 +163,11 @@ def bench_cpu_reference():
     return CPU_BATCH / dt
 
 
-def bench_stretch(length=64, batch=256, iters=16):
-    """Stretch config: len-64 chart fills (BASELINE #5).
+def bench_stretch(length=64, batch=1024, iters=16):
+    """Stretch config: len-64 chart fills at batch 1024 (BASELINE #5).
 
-    Batch capped at 256: the len-64 outside kernel sits near the VMEM
-    ceiling and larger grids have faulted the worker on v5e; revisit
-    with the lane-packed layout.
+    The kernel wrapper auto-chunks launches to <=256 lanes (larger grids
+    near the VMEM ceiling have faulted the v5e worker).
     """
     import jax
     import jax.numpy as jnp

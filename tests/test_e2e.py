@@ -73,6 +73,15 @@ def test_train_eval_roundtrip(corpus, tmp_path, monkeypatch):
     assert counts["obj"][1] > 0
     assert counts["rel"][1] > 0
 
+    # prediction-dumping CLI restores the run's overrides + checkpoint
+    import test as test_cli
+
+    ckpt = os.path.join(run_dir, "checkpoint", "best")
+    test_cli.main([f"checkpoint={ckpt}"])
+    assert os.path.exists("unnamed_dev.conll")
+    with open("unnamed_dev.conll") as f:
+        assert len(f.read().strip()) > 0
+
 
 def test_classic_dmv_e2e(corpus):
     """Classic DMV EM on the synthetic corpus: UAS computable, EM runs."""

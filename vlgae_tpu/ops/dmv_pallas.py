@@ -415,8 +415,52 @@ def _specs(n1, n1r):
     return att_spec, seed_spec, row_spec
 
 
+# Cap the per-launch batch so the kernel grid stays at <= 2 tiles: larger
+# grids at big n1 have faulted/hung the v5e worker near the VMEM ceiling.
+_MAX_LAUNCH_B = 2 * BT
+
+
+def _chunked(call, n_out, *args):
+    """Split args along their (trailing) batch axis into launch chunks."""
+    B = args[0].shape[-1]
+    outs = []
+    for start in range(0, B, _MAX_LAUNCH_B):
+        chunk = [
+            jax.lax.slice_in_dim(
+                a, start, min(start + _MAX_LAUNCH_B, B), axis=a.ndim - 1
+            )
+            for a in args
+        ]
+        outs.append(call(*chunk))
+    if n_out == 1:
+        return jnp.concatenate(outs, axis=-1)
+    return tuple(
+        jnp.concatenate([o[i] for o in outs], axis=-1) for i in range(n_out)
+    )
+
+
 def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
                         interpret, save_charts: bool = False):
+    B_total = attL.shape[-1]
+    if B_total > _MAX_LAUNCH_B:
+        if save_charts:
+            def one(*a):
+                out, charts = _pallas_inside_call(
+                    *a, is_max=is_max, interpret=interpret,
+                    save_charts=True,
+                )
+                return (out,) + charts
+
+            out, Cr, Cl, Ir, Il = _chunked(
+                one, 5, attL, attR, seedR, seedL, lengths
+            )
+            return out, (Cr, Cl, Ir, Il)
+        out = _chunked(
+            lambda *a: _pallas_inside_call(*a, is_max=is_max,
+                                           interpret=interpret)[0],
+            1, attL, attR, seedR, seedL, lengths,
+        )
+        return out, None
     n1, _, n1r, B = attL.shape
     grid = (B // BT,)
     chart = lambda: pltpu.VMEM((n1, 2, n1r, BT), jnp.float32)
@@ -461,6 +505,15 @@ def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
 
 def _pallas_outside_call(attL, attR, lengths, gout, logz, charts, *,
                          is_max, interpret):
+    B_total = attL.shape[-1]
+    if B_total > _MAX_LAUNCH_B:
+        return _chunked(
+            lambda aL, aR, le, go, lz, c0, c1, c2, c3: _pallas_outside_call(
+                aL, aR, le, go, lz, (c0, c1, c2, c3),
+                is_max=is_max, interpret=interpret,
+            ),
+            4, attL, attR, lengths, gout, logz, *charts,
+        )
     n1, _, n1r, B = attL.shape
     grid = (B // BT,)
     chart = lambda: pltpu.VMEM((n1, 2, n1r, BT), jnp.float32)

@@ -289,7 +289,12 @@ class Pipeline:
             max(1, int(sampler_len * val_check_interval))
             if val_fn is not None and 0 < val_check_interval < 1 else None
         )
+        fast_dev_run = int(
+            self.cfg.get("trainer", {}).get("fast_dev_run", 0) or 0
+        )
         for i, (x, y) in enumerate(self.dm.batches(split)):
+            if fast_dev_run and i >= fast_dev_run:
+                break
             if val_every and i > 0 and i % val_every == 0:
                 val_fn()
             x, y = self._prep_batch(x, y, init_phase)
