@@ -65,6 +65,24 @@ class BlankEncoder(fnn.Module):
         return {"x": x}
 
 
+class _MaskedLSTMStep(fnn.Module):
+    """One masked LSTM step with a shared (variational) hidden-dropout
+    mask carried alongside the state (ref: nn/variational_lstm.py)."""
+
+    hidden: int
+
+    @fnn.compact
+    def __call__(self, carry, inp):
+        c, h, hmask = carry
+        xt, mt = inp
+        cell = fnn.OptimizedLSTMCell(self.hidden)
+        (nc, nh), out = cell((c, h * hmask), xt)
+        keep = mt[:, None]
+        nc = jnp.where(keep, nc, c)
+        nh = jnp.where(keep, nh, h)
+        return (nc, nh, hmask), jnp.where(keep, out, 0.0)
+
+
 class _LSTMLayer(fnn.Module):
     """One direction, one layer, with variational recurrent dropout."""
 
@@ -75,8 +93,6 @@ class _LSTMLayer(fnn.Module):
     @fnn.compact
     def __call__(self, x, mask, *, deterministic: bool = True):
         B, L, _ = x.shape
-        cell = fnn.OptimizedLSTMCell(self.hidden)
-        carry = cell.initialize_carry(jax.random.key(0), (B,))
         if self.recurrent_dropout > 0 and not deterministic:
             rng = self.make_rng("dropout")
             hmask = jax.random.bernoulli(
@@ -84,23 +100,25 @@ class _LSTMLayer(fnn.Module):
             ) / (1 - self.recurrent_dropout)
         else:
             hmask = jnp.ones((B, self.hidden))
+        carry = (
+            jnp.zeros((B, self.hidden)),
+            jnp.zeros((B, self.hidden)),
+            hmask.astype(jnp.float32),
+        )
 
         xs = jnp.moveaxis(x, 1, 0)  # [L, B, D]
         ms = jnp.moveaxis(mask, 1, 0)  # [L, B]
         if self.reverse:
             xs, ms = xs[::-1], ms[::-1]
 
-        def step(carry, inp):
-            xt, mt = inp
-            (c, h) = carry
-            new_carry, out = cell((c, h * hmask), xt)
-            nc, nh = new_carry
-            keep = mt[:, None]
-            nc = jnp.where(keep, nc, c)
-            nh = jnp.where(keep, nh, h)
-            return (nc, nh), jnp.where(keep, out, 0.0)
-
-        _, ys = jax.lax.scan(step, carry, (xs, ms))
+        scan = fnn.scan(
+            _MaskedLSTMStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        _, ys = scan(self.hidden, name="cell")(carry, (xs, ms))
         if self.reverse:
             ys = ys[::-1]
         return jnp.moveaxis(ys, 0, 1)
