@@ -201,9 +201,98 @@ def bench_stretch(length=64, batch=1024, iters=16):
     return batch / dt
 
 
+def bench_train_step(B=64, L=10, P=36, iters=64):
+    """Full joint-model (VLGAE) train step at the reference's default
+    training scale (ref: config/data/vlparse.yaml batch<=64, len<=10,
+    35 proposals): forward (3 chart DPs) + grounding loss + backward +
+    Adam. Reported as sentences/sec."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vlgae_tpu.models import (
+        CompositeEmbedding, DependencyBoxRel, DependencyBoxRelConfig,
+        DiscriminativeNDMV, LDNDMVConfig, MLPEncoder,
+        VisBoxRelSimpleEncoder, loss_nll,
+    )
+    from vlgae_tpu.models.embedding import EmbeddingItemCfg
+
+    N_WORD, N_TAG, N_TOKEN = 2000, 40, 500
+    emb = CompositeEmbedding(items=(
+        EmbeddingItemCfg("word_embedding", "word", "static",
+                         n_vocab=N_WORD, embedding_dim=100),
+        EmbeddingItemCfg("tag_embedding", "tag", "static",
+                         n_vocab=N_TAG, embedding_dim=32),
+    ))
+    dep_cfg = LDNDMVConfig(hidden_size=256, mid_bottleneck=150,
+                           n_token=N_TOKEN, n_tag=N_TAG)
+    dep = DiscriminativeNDMV(
+        cfg=dep_cfg, embedding=emb, encoder=MLPEncoder(n_hidden=256),
+        token2word=tuple(i % N_WORD for i in range(N_TOKEN)),
+        token2tag=tuple(i % N_TAG for i in range(N_TOKEN)),
+    )
+    model = DependencyBoxRel(
+        cfg=DependencyBoxRelConfig(match_hidden=128),
+        dep_cfg=dep_cfg, dependency=dep,
+        vis_encoder=VisBoxRelSimpleEncoder(n_hidden=256),
+        pos_for_obj=(2, 3), pos_for_rel=(4, 5), pos_for_attr=(6,),
+    )
+    rng = np.random.default_rng(0)
+    inputs = {
+        "token": jnp.asarray(rng.integers(2, N_TOKEN, (B, L)), jnp.int32),
+        "word": jnp.asarray(rng.integers(2, N_WORD, (B, L)), jnp.int32),
+        "tag": jnp.asarray(rng.integers(2, N_TAG, (B, L)), jnp.int32),
+        "seq_len": jnp.full((B,), L, jnp.int32),
+        "vis_box_feat": jnp.asarray(
+            rng.standard_normal((B, P, 2048)), jnp.float32),
+        "vis_box_mask": jnp.asarray(np.tile(np.arange(P) < 35, (B, 1))),
+        "vis_available": jnp.ones(B, bool),
+    }
+    params = jax.jit(model.init)(jax.random.key(0), inputs)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            out = model.apply(p, inputs, deterministic=False,
+                              rngs={"dropout": key, "sample": key})
+            dep_loss, dep_aux = loss_nll(out, inputs["seq_len"],
+                                         viterbi=True)
+            total, _ = model.apply(p, out, None, inputs, dep_loss, dep_aux,
+                                   method=model.loss)
+            return total / (B * L)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def many(params, opt_state, key):
+        def body(carry, i):
+            p, o, acc = carry
+            p, o, loss = step(p, o, jax.random.fold_in(key, i))
+            return (p, o, acc + loss), None
+
+        (p, o, acc), _ = jax.lax.scan(
+            body, (params, opt_state, jnp.zeros(())), jnp.arange(iters)
+        )
+        return acc
+
+    float(many(params, opt_state, jax.random.key(1)))
+    t0 = time.perf_counter()
+    final = float(many(params, opt_state, jax.random.key(2)))
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(final)
+    return B / dt
+
+
 def main():
     cpu_sps = bench_cpu_reference()
     tpu_sps = bench_tpu()
+    try:
+        train_sps = bench_train_step()
+    except Exception:
+        train_sps = 0.0
     try:
         stretch_sps = bench_stretch()
     except Exception:
@@ -215,6 +304,7 @@ def main():
         "vs_baseline": round(tpu_sps / cpu_sps, 2),
         "cpu_reference_sentences_per_sec": round(cpu_sps, 1),
         "stretch_len64_b1024_sentences_per_sec": round(stretch_sps, 1),
+        "joint_train_step_len10_b64_sentences_per_sec": round(train_sps, 1),
     }
     print(json.dumps(result))
 

@@ -27,6 +27,18 @@ def main(argv=None):
         "VLGAE_CONFIG_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs"),
     )
+    # reuse a previous run's overrides (ref: train.py:50-69)
+    pre = []
+    for ov in list(overrides):
+        if ov.startswith("load_cfg_from_checkpoint="):
+            run_dir = ov.split("=", 1)[1]
+            saved = os.path.join(run_dir, "overrides.json")
+            if os.path.exists(saved):
+                with open(saved) as f:
+                    pre = json.load(f)
+            overrides.remove(ov)
+    overrides = pre + overrides
+
     cfg = resolve(ConfigComposer(config_dir).compose("config_train",
                                                      overrides))
 

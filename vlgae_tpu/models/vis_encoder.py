@@ -3,14 +3,22 @@
 Re-designed from the reference (ref: src/model/vis_encoder/box_rel.py):
 project Faster-RCNN box features into box / relation (box-pair) /
 attribute / whole-image factor embeddings.
+
+TPU note: the reference materializes the [B, P, P, 2H] pairwise-mean
+input before its relation MLP (ref: box_rel.py:42-43). Because that
+input is a *linear* combination of the two box vectors, the MLP's
+linear layer factorizes exactly: project each box once and sum the
+pairwise projections before the activation -- algebraically identical,
+~P/2 x less matmul work (the [B,P,P,2H] tensor never exists).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from .nn import MLP
+from .nn import MLP, shared_dropout
 
 
 class VisBoxRelSimpleEncoder(fnn.Module):
@@ -43,10 +51,24 @@ class VisBoxRelSimpleEncoder(fnn.Module):
             inputs = jnp.concatenate([feat, mean_feat], -1)
         else:
             inputs = feat
-        rel_inp = (inputs[:, :, None] + inputs[:, None, :]) / 2
-        rel = MLP(self.n_hidden, self.dropout, self.activate, name="rel_fc")(
-            rel_inp, deterministic=deterministic
-        ).reshape(B, N * N, self.n_hidden)
+        # factorized pairwise-mean relation MLP (see module docstring)
+        rel_u = fnn.Dense(
+            self.n_hidden,
+            use_bias=False,
+            kernel_init=fnn.initializers.orthogonal(),
+            name="rel_fc",
+        )(inputs)  # [B, N, h]
+        rel_b = self.param(
+            "rel_fc_bias", fnn.initializers.zeros_init(), (self.n_hidden,)
+        )
+        rel = (rel_u[:, :, None] + rel_u[:, None, :]) / 2 + rel_b
+        if self.activate:
+            rel = jax.nn.leaky_relu(rel)
+        rel = rel.reshape(B, N * N, self.n_hidden)
+        if self.dropout > 0 and not deterministic:
+            rel = shared_dropout(
+                self.make_rng("dropout"), rel, self.dropout, False
+            )
         out = {
             "box": MLP(self.n_hidden, self.dropout, self.activate,
                        name="box_fc")(inputs, deterministic=deterministic),
