@@ -129,3 +129,42 @@ def test_classic_dmv_e2e(corpus):
         metric.update({"arc": np.asarray(heads)}, {"arc": y["arc"]}, mask)
     result = metric.compute()
     assert 0 <= result["uas"] <= 100
+
+
+def test_lang_only_exp(corpus, tmp_path, monkeypatch):
+    """Text-only recipe: RNN encoder + word/tag embeddings + exponential
+    LR schedule (exercises exp=lang_only end to end)."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, REPO)
+    import importlib
+    import train as train_cli
+
+    overrides = [
+        "exp=lang_only",
+        f"root={corpus.parent}",
+        f"datamodule.train_path={corpus}/train",
+        f"datamodule.train_init_path={corpus}/init",
+        f"datamodule.dev_path={corpus}/val",
+        f"datamodule.test_path={corpus}/test",
+        f"datamodule.sg_path={corpus}/vlparse.json",
+        "datamodule.pad_boxes=8",
+        "datamodule.train_dataloader.batch_size=8",
+        "datamodule.train_dataloader.num_bucket=1",
+        "datamodule.dev_dataloader.num_bucket=1",
+        "datamodule.dev_dataloader.batch_size=8",
+        "datamodule.test_dataloader.num_bucket=1",
+        "datamodule.test_dataloader.batch_size=8",
+        "trainer.max_epochs=2",
+        "trainer.accumulate_grad_batches=2",
+        "model.init_epoch=1",
+        "_hidden_size=32",
+        "_rank=4",
+        "encoder.hidden_size=16",
+        "encoder.num_layers=1",
+        "model.root_emb_dim=8",
+        "model.dec_emb_dim=8",
+    ]
+    pipe, test_result = train_cli.main(overrides)
+    assert "uas" in test_result
+    assert 0 <= test_result["uas"] <= 100
+    assert os.path.exists(os.path.join(pipe.workdir, "dev.predict.txt"))

@@ -356,10 +356,13 @@ class DependencyBoxRel(fnn.Module):
         loss = -jnp.einsum("bb->b", logp).mean()
         return loss, {"mt": loss}
 
-    def loss(self, out, gold, inputs, dep_loss, dep_aux):
-        """Interpolated joint loss (ref: joint.py:693-711)."""
+    def loss(self, out, gold, inputs, dep_loss, dep_aux, alpha=None):
+        """Interpolated joint loss (ref: joint.py:693-711). ``alpha``
+        overrides the static config (piecewise-linear schedules,
+        ref: base.py:144-164)."""
         cfg = self.cfg
-        alpha = cfg.grounding_interpolation
+        if alpha is None:
+            alpha = cfg.grounding_interpolation
         if out.get("match_logit") is None:
             return dep_loss, dep_aux
         if cfg.loss_grounding_mode == "factor|ce":

@@ -182,7 +182,7 @@ class Pipeline:
             )
         if self.is_joint and train and not init_phase:
             total, aux = model.apply(
-                params, out, gold, inputs, dep_loss, dep_aux,
+                params, out, gold, inputs, dep_loss, dep_aux, alpha,
                 method=model.loss,
             )
         else:
@@ -212,6 +212,41 @@ class Pipeline:
             return new_params, new_opt, loss, aux
 
         fn = jax.jit(step, donate_argnums=(0, 1))
+        self._jit_cache[key] = fn
+        return fn
+
+    def _get_grad_step(self, shape_key, init_phase: bool, alpha: float):
+        """Gradient-only step for accumulate_grad_batches > 1."""
+        key = ("grad", shape_key, init_phase, round(alpha, 6))
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def step(params, inputs, gold, rng):
+            def loss_fn(p):
+                return self._compute_loss(
+                    p, inputs, gold, rng, init_phase, alpha, train=True
+                )
+
+            (loss, (aux, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            return loss, grads
+
+        fn = jax.jit(step)
+        self._jit_cache[key] = fn
+        return fn
+
+    def _get_apply_step(self):
+        key = ("apply",)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def step(params, opt_state, grads, scale):
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt
+
+        fn = jax.jit(step, donate_argnums=(0, 1, 2))
         self._jit_cache[key] = fn
         return fn
 
@@ -292,6 +327,11 @@ class Pipeline:
         fast_dev_run = int(
             self.cfg.get("trainer", {}).get("fast_dev_run", 0) or 0
         )
+        accum = int(
+            self.cfg.get("trainer", {}).get("accumulate_grad_batches", 1)
+            or 1
+        )
+        pending_grads, pending_n = None, 0
         for i, (x, y) in enumerate(self.dm.batches(split)):
             if fast_dev_run and i >= fast_dev_run:
                 break
@@ -303,15 +343,35 @@ class Pipeline:
             shape_key = tuple(
                 (k, v.shape) for k, v in sorted(x.items())
             )
-            fn = self._get_train_step(shape_key, init_phase, alpha)
             st.rng, sub = jax.random.split(st.rng)
             inputs = {k: jnp.asarray(v) for k, v in x.items()}
             gold = {k: jnp.asarray(v) for k, v in y.items()}
-            st.params, st.opt_state, loss, aux = fn(
-                st.params, st.opt_state, inputs, gold, sub
+            if accum <= 1:
+                fn = self._get_train_step(shape_key, init_phase, alpha)
+                st.params, st.opt_state, loss, aux = fn(
+                    st.params, st.opt_state, inputs, gold, sub
+                )
+                st.step += 1
+            else:
+                gfn = self._get_grad_step(shape_key, init_phase, alpha)
+                loss, grads = gfn(st.params, inputs, gold, sub)
+                pending_grads = grads if pending_grads is None else (
+                    jax.tree_util.tree_map(jnp.add, pending_grads, grads)
+                )
+                pending_n += 1
+                if pending_n == accum:
+                    st.params, st.opt_state = self._get_apply_step()(
+                        st.params, st.opt_state, pending_grads,
+                        1.0 / pending_n,
+                    )
+                    pending_grads, pending_n = None, 0
+                    st.step += 1
+            losses.append(float(loss))
+        if pending_grads is not None and pending_n:
+            st.params, st.opt_state = self._get_apply_step()(
+                st.params, st.opt_state, pending_grads, 1.0 / pending_n
             )
             st.step += 1
-            losses.append(float(loss))
         return {
             "train/loss": float(np.mean(losses)) if losses else 0.0,
             "train/time": time.time() - t0,
