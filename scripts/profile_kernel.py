@@ -7,7 +7,7 @@ from jax import lax
 
 from vlgae_tpu.ops import dmv_partition_pallas
 from vlgae_tpu.ops.dmv_pallas import (
-    _pallas_inside_call, _pallas_outside_call, _prep_inputs, _round8, NEGINF,
+    _pallas_inside_call, _prep_inputs, _round8, NEGINF,
 )
 
 B, N = 256, 30
@@ -23,8 +23,6 @@ attL, attR, seedR, seedL = jax.jit(
     lambda d, a: _prep_inputs(d, a, n1r)
 )(dec, attach)
 lrow = lengths[None, :]
-ones = jnp.ones((1, B), jnp.float32)
-# per-iteration perturbations (defeat loop hoisting)
 deltas = jnp.asarray(rng.standard_normal((8,)).astype(np.float32) * 0.01)
 
 
@@ -46,16 +44,16 @@ def timed(name, fn, first_arg, *rest):
     return dt
 
 
-timed("noop (scan floor)", lambda x: x * 2.0, attach)
 timed("prep only", lambda a, d: _prep_inputs(d, a, n1r), attach, dec)
-timed("inside kernel only",
+timed("inside (value only)",
       lambda aL, *a: _pallas_inside_call(aL, *a, is_max=False,
-                                         interpret=False),
+                                         interpret=False)[0],
       attL, attR, seedR, seedL, lrow)
-timed("outside kernel only",
-      lambda aL, *a: _pallas_outside_call(aL, *a, is_max=False,
-                                          interpret=False),
-      attL, attR, seedR, seedL, lrow, ones, ones)
+timed("inside (save charts)",
+      lambda aL, *a: _pallas_inside_call(aL, *a, is_max=False,
+                                         interpret=False,
+                                         save_charts=True)[0],
+      attL, attR, seedR, seedL, lrow)
 timed("full fwd",
       lambda a, d, l: dmv_partition_pallas(d, a, l), attach, dec, lengths)
 timed("full fwd+bwd",

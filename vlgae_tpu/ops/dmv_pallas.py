@@ -173,6 +173,125 @@ def _inside_fill(n1, n1r, is_max, attL, attR, seedR, seedL, lengths_row,
     return lax.fori_loop(1, n1, w_body, out0)
 
 
+def _inside_fill_v2(n1, n1r, ip, is_max, attL, attR, seedR, seedL,
+                    lengths_row, Cr, Cl, Ir, Il, ClKF, CrEF, IlHF):
+    """Vectorized-width inside fill: every per-width update is one
+    logsumexp reduction over a [N1, 2, n1r, BT] slab instead of a
+    sequential split-point loop.
+
+    Dual-layout trick: flipped, position-indexed copies of the charts
+    (``ClKF``/``CrEF`` indexed by the span's head/end position, rows
+    stored width-reversed) turn the diagonal stripe reads of the
+    recursion into contiguous (row-slab, column-shift) dynamic slices:
+      Cl[w-1-t, i+1+t] == ClKF[flip(w-1-t), i+w]   (column shift w only)
+    ``Il`` is kept in the plain layout too so the (v1) outside kernel can
+    consume the saved charts unchanged. ``Ir`` has one extra NEG row so
+    ``Ir[t+1]`` is a static row-offset slab.
+    """
+
+    def plus(a, b):
+        return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
+
+    def lse_t(x, tmask):
+        x = jnp.where(tmask, x, NEGINF)
+        if is_max:
+            return jnp.max(x, axis=0)
+        m = jnp.max(x, axis=0)
+        s = jnp.sum(jnp.exp(x - m[None]), axis=0)
+        return m + jnp.log(s)
+
+    neg_plain = jnp.full((n1, 2, n1r, BT), NEGINF, jnp.float32)
+    Cr[:, :, :, :] = neg_plain
+    Cl[:, :, :, :] = jnp.full((n1 + 1, 2, n1r, BT), NEGINF, jnp.float32)
+    Ir[:, :, :, :] = jnp.full((n1 + 1, 2, n1r, BT), NEGINF, jnp.float32)
+    if Il is not None:
+        Il[:, :, :, :] = neg_plain
+    neg_flip = jnp.full((2 * n1, 2, ip, BT), NEGINF, jnp.float32)
+    ClKF[:, :, :, :] = neg_flip
+    CrEF[:, :, :, :] = neg_flip
+    IlHF[:, :, :, :] = neg_flip
+
+    Cr[0, :, :, :] = seedR[:]
+    Cl[0, :, :, :] = seedL[:]
+    ClKF[n1 - 1, :, pl.ds(0, n1r), :] = seedL[:]
+    CrEF[n1 - 1, :, pl.ds(0, n1r), :] = seedR[:]
+
+    t_iota = lax.broadcasted_iota(jnp.int32, (n1, 1, n1r, BT), 0)
+    i_iota = lax.broadcasted_iota(jnp.int32, (n1r, BT), 0)
+    lengths = lengths_row[0, :]
+    out0 = jnp.full((BT,), NEGINF, jnp.float32)
+
+    def w_body(w, out_acc):
+        tmask = t_iota < w
+        valid = (i_iota < n1 - w)[None]
+
+        clk = ClKF[pl.ds(n1 - w, n1), :, pl.ds(w, n1r), :]
+        cr_nc = Cr[:, NOCHILD, :, :][:, None]
+        cr_hc = Cr[:, HASCHILD, :, :][:, None]
+        inner_l = lse_t(cr_nc + clk[:, HASCHILD][:, None], tmask)[0]
+        inner_r = lse_t(cr_hc + clk[:, NOCHILD][:, None], tmask)[0]
+
+        il_new = jnp.where(valid, inner_l[None] + attL[w], NEGINF)
+        ir_new = jnp.where(valid, inner_r[None] + attR[w], NEGINF)
+        Ir[w, :, :, :] = ir_new
+        if Il is not None:
+            Il[w, :, :, :] = il_new
+        IlHF[n1 - 1 - w, :, pl.ds(w, n1r), :] = il_new
+
+        # The complete-span updates consume the width-w incomplete rows
+        # written just above. Reading a just-written row through a
+        # dynamically-indexed slab races on hardware (Mosaic misses the
+        # overlap), so the t=0 / t=w-1 terms are folded in from the
+        # in-register values and the slabs exclude the fresh rows
+        # (their stale lanes are masked out and thus harmless).
+        tmask1 = t_iota < (w - 1)
+        # Cl[w,i,v] = [sum_{t>=1} Il[w-t,i+t,v]*Cl[t,i,NC]] + il_new*Cl[0,i,NC]
+        ilh = IlHF[pl.ds(n1 - w, n1), :, pl.ds(w, n1r), :]
+        cl_rest = lse_t(ilh + Cl[pl.ds(1, n1), NOCHILD, :, :][:, None],
+                        tmask1)
+        cl_new = plus(cl_rest, il_new + Cl[0, NOCHILD, :, :][None])
+        # Cr[w,i,v] = [sum_{t<=w-2} Ir[t+1,i,v]*CrE[w-1-t,i+w,NC]]
+        #             + ir_new*CrE[0,i+w,NC]
+        cre = CrEF[pl.ds(n1 - w, n1), NOCHILD, pl.ds(w, n1r), :][:, None]
+        cr_rest = lse_t(Ir[pl.ds(1, n1), :, :, :] + cre, tmask1)
+        cre0 = CrEF[n1 - 1, NOCHILD, pl.ds(w, n1r), :]
+        cr_new = plus(cr_rest, ir_new + cre0[None])
+
+        root_keep = (i_iota != 0) | (lengths[None, :] == w)
+        cr_new = jnp.where(valid & root_keep[None], cr_new, NEGINF)
+        cl_new = jnp.where(valid, cl_new, NEGINF)
+        Cr[w, :, :, :] = cr_new
+        Cl[w, :, :, :] = cl_new
+        ClKF[n1 - 1 - w, :, pl.ds(w, n1r), :] = cl_new
+        CrEF[n1 - 1 - w, :, pl.ds(w, n1r), :] = cr_new
+
+        out_acc = jnp.where(lengths == w, cr_new[NOCHILD, 0, :], out_acc)
+        return out_acc
+
+    return lax.fori_loop(1, n1, w_body, out0)
+
+
+def _inside_kernel_v2(n1, n1r, ip, is_max,
+                      attL_ref, attR_ref, seedR_ref, seedL_ref, len_ref,
+                      out_ref, Cr, Cl, Ir, ClKF, CrEF, IlHF):
+    out_ref[0, :] = _inside_fill_v2(
+        n1, n1r, ip, is_max, attL_ref, attR_ref, seedR_ref, seedL_ref,
+        len_ref, Cr, Cl, Ir, None, ClKF, CrEF, IlHF,
+    )
+
+
+def _inside_kernel_v2_save(n1, n1r, ip, is_max,
+                           attL_ref, attR_ref, seedR_ref, seedL_ref,
+                           len_ref, out_ref, outCr, outCl, outIrX, outIl,
+                           ClKF, CrEF, IlHF):
+    """Save variant: plain charts are output refs (outIrX has the extra
+    row; the wrapper trims it)."""
+    out_ref[0, :] = _inside_fill_v2(
+        n1, n1r, ip, is_max, attL_ref, attR_ref, seedR_ref, seedL_ref,
+        len_ref, outCr, outCl, outIrX, outIl, ClKF, CrEF, IlHF,
+    )
+
+
 def _inside_kernel(n1, n1r, is_max,
                    attL_ref, attR_ref, seedR_ref, seedL_ref, len_ref,
                    out_ref, Cr, Cl, Ir, Il, padA, padB):
@@ -439,6 +558,67 @@ def _chunked(call, n_out, *args):
     )
 
 
+# Vectorized-width inside kernel (v2). Flip to False to fall back to the
+# split-point-loop (v1) fill.
+USE_V2_INSIDE = True
+
+
+def _pallas_inside_call_v2(attL, attR, seedR, seedL, lengths, *, is_max,
+                           interpret, save_charts: bool = False):
+    n1, _, n1r, B = attL.shape
+    ip = _round8(n1 - 1 + n1r)
+    grid = (B // BT,)
+    att_spec, seed_spec, row_spec = _specs(n1, n1r)
+    flip = lambda: pltpu.VMEM((2 * n1, 2, ip, BT), jnp.float32)
+    chart = lambda rows: pltpu.VMEM((rows, 2, n1r, BT), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cost = pl.CostEstimate(
+        flops=12 * n1 ** 3 * B,
+        bytes_accessed=(2 * n1 * n1 * 2 + 4 * n1 * 2 + 3) * B * 4,
+        transcendentals=0 if is_max else 2 * n1 ** 3 * B,
+    )
+    if save_charts:
+        kernel = functools.partial(_inside_kernel_v2_save, n1, n1r, ip,
+                                   is_max)
+        chart_spec = lambda rows: pl.BlockSpec(
+            (rows, 2, n1r, BT), lambda g: (0, 0, 0, g),
+            memory_space=pltpu.VMEM,
+        )
+        out, Cr, ClX, IrX, Il = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[att_spec, att_spec, seed_spec, seed_spec, row_spec],
+            out_specs=(row_spec, chart_spec(n1), chart_spec(n1 + 1),
+                       chart_spec(n1 + 1), chart_spec(n1)),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, B), jnp.float32),
+                jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
+                jax.ShapeDtypeStruct((n1 + 1, 2, n1r, B), jnp.float32),
+                jax.ShapeDtypeStruct((n1 + 1, 2, n1r, B), jnp.float32),
+                jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
+            ),
+            scratch_shapes=[flip(), flip(), flip()],
+            compiler_params=params,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(attL, attR, seedR, seedL, lengths)
+        return out[0], (Cr, ClX[:n1], IrX[:n1], Il)
+    kernel = functools.partial(_inside_kernel_v2, n1, n1r, ip, is_max)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[att_spec, att_spec, seed_spec, seed_spec, row_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        scratch_shapes=[chart(n1), chart(n1 + 1), chart(n1 + 1),
+                        flip(), flip(), flip()],
+        compiler_params=params,
+        interpret=interpret,
+        cost_estimate=cost,
+    )(attL, attR, seedR, seedL, lengths)
+    return out[0], None
+
+
 def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
                         interpret, save_charts: bool = False):
     B_total = attL.shape[-1]
@@ -461,6 +641,11 @@ def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
             1, attL, attR, seedR, seedL, lengths,
         )
         return out, None
+    if USE_V2_INSIDE:
+        return _pallas_inside_call_v2(
+            attL, attR, seedR, seedL, lengths, is_max=is_max,
+            interpret=interpret, save_charts=save_charts,
+        )
     n1, _, n1r, B = attL.shape
     grid = (B // BT,)
     chart = lambda: pltpu.VMEM((n1, 2, n1r, BT), jnp.float32)
