@@ -13,6 +13,7 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -22,6 +23,23 @@ import numpy as np
 LEN = 30
 BATCH = 256
 CPU_BATCH = 32  # CPU baseline measured on a slice, scaled by batch
+
+
+def diff_time(make_many, iters):
+    """Differential timing: run the scan at N and 2N iterations and take
+    the difference, cancelling fixed dispatch/fetch overhead exactly
+    (remote backends add ~30ms per round trip)."""
+    many_1 = make_many(iters)
+    many_2 = make_many(2 * iters)
+    float(many_2())  # compile+warm the longer one (shares cache shapes? no)
+    float(many_1())
+    t0 = time.perf_counter()
+    v1 = float(many_1())
+    t1 = time.perf_counter()
+    v2 = float(many_2())
+    t2 = time.perf_counter()
+    assert np.isfinite(v1) and np.isfinite(v2)
+    return max((t2 - t1) - (t1 - t0), 1e-9) / iters
 
 
 def make_inputs(B, N, seed=0):
@@ -61,24 +79,20 @@ def bench_tpu():
     noise = jnp.asarray(
         rng.standard_normal((8,) + attach.shape).astype(np.float32) * 0.01
     )
-    # enough iterations that the host<->device dispatch round-trip
-    # (~30ms on tunneled backends) is amortized to <1%
-    iters = 256
 
-    @jax.jit
-    def many(d, a, l, noise):
-        def body(acc, i):
-            a_i = a + noise[i % noise.shape[0]]
-            return acc + inside_outside(d, a_i, l), None
+    def make_many(iters):
+        @functools.partial(jax.jit, static_argnums=())
+        def many(d, a, l, noise):
+            def body(acc, i):
+                a_i = a + noise[i % noise.shape[0]]
+                return acc + inside_outside(d, a_i, l), None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(iters))
-        return acc
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(iters))
+            return acc
 
-    float(many(dec, attach, lengths, noise))  # compile + drain
-    t0 = time.perf_counter()
-    final = float(many(dec, attach, lengths, noise))
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(final)
+        return lambda: many(dec, attach, lengths, noise)
+
+    dt = diff_time(make_many, 128)
     return BATCH / dt
 
 
@@ -182,22 +196,21 @@ def bench_stretch(length=64, batch=1024, iters=16):
     else:
         total_fn = lambda d, a, l: dmv_partition(d, a, l, LogSemiring)
 
-    @jax.jit
-    def many(d, a, l):
-        def body(acc, i):
-            val, grads = jax.value_and_grad(
-                lambda a_: jnp.sum(total_fn(d, a_ + acc * 1e-9, l))
-            )(a)
-            return acc + val * 1e-9 + jnp.sum(grads) * 1e-9, None
+    def make_many(n_it):
+        @jax.jit
+        def many(d, a, l):
+            def body(acc, i):
+                val, grads = jax.value_and_grad(
+                    lambda a_: jnp.sum(total_fn(d, a_ + acc * 1e-9, l))
+                )(a)
+                return acc + val * 1e-9 + jnp.sum(grads) * 1e-9, None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(iters))
-        return acc
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n_it))
+            return acc
 
-    float(many(dec, attach, lengths))
-    t0 = time.perf_counter()
-    final = float(many(dec, attach, lengths))
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(final)
+        return lambda: many(dec, attach, lengths)
+
+    dt = diff_time(make_many, iters)
     return batch / dt
 
 
@@ -266,23 +279,22 @@ def bench_train_step(B=64, L=10, P=36, iters=64):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    @jax.jit
-    def many(params, opt_state, key):
-        def body(carry, i):
-            p, o, acc = carry
-            p, o, loss = step(p, o, jax.random.fold_in(key, i))
-            return (p, o, acc + loss), None
+    def make_many(n_it):
+        @jax.jit
+        def many(params, opt_state, key):
+            def body(carry, i):
+                p, o, acc = carry
+                p, o, loss = step(p, o, jax.random.fold_in(key, i))
+                return (p, o, acc + loss), None
 
-        (p, o, acc), _ = jax.lax.scan(
-            body, (params, opt_state, jnp.zeros(())), jnp.arange(iters)
-        )
-        return acc
+            (p, o, acc), _ = jax.lax.scan(
+                body, (params, opt_state, jnp.zeros(())), jnp.arange(n_it)
+            )
+            return acc
 
-    float(many(params, opt_state, jax.random.key(1)))
-    t0 = time.perf_counter()
-    final = float(many(params, opt_state, jax.random.key(2)))
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(final)
+        return lambda: many(params, opt_state, jax.random.key(1))
+
+    dt = diff_time(make_many, iters)
     return B / dt
 
 

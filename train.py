@@ -122,10 +122,14 @@ def main(argv=None):
 
         jax.profiler.start_trace(os.path.join(workdir, "profile"))
 
+    start_patience = int(trainer_cfg.get("start_patience", 0) or 0)
+
     def run_validation(epoch):
         val, val_out = pipe.evaluate("dev")
         watch = val.get(pipe.watch_field.split("/", 1)[-1], val.get("loss"))
-        if pipe.is_better(watch):
+        # only track/save best after start_patience epochs
+        # (ref: pl_callback.py:241-251)
+        if epoch >= start_patience and pipe.is_better(watch):
             pipe.best = watch
             pipe.save_checkpoint("best")
             pipe.write_predictions(

@@ -240,12 +240,14 @@ def load_glove(path, vocab, dim: int, lower: bool = True):
 
 
 def normalize_embedding_params(params, path: Tuple[str, ...],
-                               method: str = "mean+std"):
+                               method: str = "mean+std", counts=None):
     """Pure re-whitening of one embedding table (ref: embedding.py:155-166).
 
-    ``path``: key path to the table inside ``params``. Row 0 (padding) is
-    excluded from the statistics, matching the reference's start_idx
-    handling (ref: fastnlp_embedding.py:43-47).
+    ``path``: key path to the table inside ``params``. With ``counts``
+    (token frequencies aligned to vocab rows), applies the reference's
+    count-weighted *scalar* whitening (ref: fastnlp_embedding.py:33-41);
+    otherwise per-dimension statistics over rows 1.. (padding row
+    excluded, ref: fastnlp_embedding.py:43-47).
     """
     def _get(d, p):
         for k in p:
@@ -253,18 +255,30 @@ def normalize_embedding_params(params, path: Tuple[str, ...],
         return d
 
     table = _get(params, path)
-    data = table[1:]
-    mean = data.mean(0, keepdims=True)
-    std = data.std(0, keepdims=True) + 1e-6
-    if method == "mean":
-        data = data - mean
-    elif method == "std":
-        data = data / std
-    elif method == "mean+std":
-        data = (data - mean) / std
+    if counts is not None:
+        w = jnp.asarray(np.asarray(counts), jnp.float32)
+        w = (w / jnp.maximum(w.sum(), 1.0))[:, None]
+        mean = (table * w).sum()
+        std = jnp.sqrt((((table - mean) ** 2) * w).sum() + 1e-6)
+        data = table
+        if method in ("mean", "mean+std"):
+            data = data - mean
+        if method in ("std", "mean+std"):
+            data = data / std
+        new_table = data
     else:
-        raise ValueError(method)
-    new_table = jnp.concatenate([table[:1], data], 0)
+        data = table[1:]
+        mean = data.mean(0, keepdims=True)
+        std = data.std(0, keepdims=True) + 1e-6
+        if method == "mean":
+            data = data - mean
+        elif method == "std":
+            data = data / std
+        elif method == "mean+std":
+            data = (data - mean) / std
+        else:
+            raise ValueError(method)
+        new_table = jnp.concatenate([table[:1], data], 0)
 
     def _set(d, p, v):
         if len(p) == 1:

@@ -563,6 +563,16 @@ def _chunked(call, n_out, *args):
 USE_V2_INSIDE = True
 
 
+def _v2_fits_vmem(n1: int) -> bool:
+    """v2 needs 3 flipped [2*n1, 2, ip, BT] buffers on top of the chart
+    blocks; gate against the ~90MB budget (v1 handles the rest)."""
+    n1r = _round8(n1)
+    ip = _round8(n1 - 1 + n1r)
+    flipped = 3 * (2 * n1 * 2 * ip * BT * 4)
+    charts = 14 * (n1 * 2 * n1r * BT * 4)  # in/out blocks, double-buffered
+    return flipped + charts <= 88 * 1024 * 1024
+
+
 def _pallas_inside_call_v2(attL, attR, seedR, seedL, lengths, *, is_max,
                            interpret, save_charts: bool = False):
     n1, _, n1r, B = attL.shape
@@ -641,7 +651,7 @@ def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
             1, attL, attR, seedR, seedL, lengths,
         )
         return out, None
-    if USE_V2_INSIDE:
+    if USE_V2_INSIDE and _v2_fits_vmem(attL.shape[0]):
         return _pallas_inside_call_v2(
             attL, attR, seedR, seedL, lengths, is_max=is_max,
             interpret=interpret, save_charts=save_charts,

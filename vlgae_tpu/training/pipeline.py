@@ -142,10 +142,17 @@ class Pipeline:
         for item in emb.items:
             if item.kind != "static" or item.normalize_time != when:
                 continue
+            counts = None
+            vocab = getattr(self.dm, "vocabs", {}).get(item.field)
+            if vocab is not None and getattr(vocab, "word_count", None):
+                counts = [
+                    vocab.word_count.get(w, 1) for w in vocab.idx2word
+                ]
             for path in flat:
                 if item.name in path and path[-1] == "embedding":
                     self.state.params = normalize_embedding_params(
-                        self.state.params, path, item.normalize_method
+                        self.state.params, path, item.normalize_method,
+                        counts=counts,
                     )
                     break
 
