@@ -244,10 +244,13 @@ def bench_train_step(B=64, L=10, P=36, iters=64):
         token2word=tuple(i % N_WORD for i in range(N_TOKEN)),
         token2tag=tuple(i % N_TAG for i in range(N_TOKEN)),
     )
+    import jax.numpy as _jnp
+
     model = DependencyBoxRel(
-        cfg=DependencyBoxRelConfig(match_hidden=128),
+        cfg=DependencyBoxRelConfig(match_hidden=128, bf16_matmul=True),
         dep_cfg=dep_cfg, dependency=dep,
-        vis_encoder=VisBoxRelSimpleEncoder(n_hidden=256),
+        vis_encoder=VisBoxRelSimpleEncoder(n_hidden=256,
+                                           dtype=_jnp.bfloat16),
         pos_for_obj=(2, 3), pos_for_rel=(4, 5), pos_for_attr=(6,),
     )
     rng = np.random.default_rng(0)

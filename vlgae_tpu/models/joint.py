@@ -61,6 +61,9 @@ class DependencyBoxRelConfig:
     decode_use_heuristic: bool = True
     grounding_interpolation: float = 0.5
     word_encoder_dropout: float = 0.33
+    # bf16 MXU compute for the big matching/visual matmuls (f32
+    # accumulation; the chart DPs always stay f32)
+    bf16_matmul: bool = False
 
 
 class DependencyBoxRel(fnn.Module):
@@ -215,7 +218,15 @@ class DependencyBoxRel(fnn.Module):
     def gather_logit(self, vis, txt):
         vis_feat, vis_mask, _ = vis[:3]
         txt_feat, txt_mask, txt_marginal = txt
-        attmap = jnp.einsum("avd,bqd->baqv", vis_feat, txt_feat)
+        if self.cfg.bf16_matmul:
+            attmap = jnp.einsum(
+                "avd,bqd->baqv",
+                vis_feat.astype(jnp.bfloat16),
+                txt_feat.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            attmap = jnp.einsum("avd,bqd->baqv", vis_feat, txt_feat)
         attmap = jnp.where(vis_mask[None, :, None, :], attmap, -INF)
         attmap = jnp.where(txt_mask[:, None, :, None], attmap, -INF)
         if self.cfg.gather_logit_mode == "reduced":
@@ -324,9 +335,10 @@ class DependencyBoxRel(fnn.Module):
             pen = self._pos_prior_mask(
                 attmap, inputs["tag"], vis_split, self_pairs=True
             )
-            # apply only on the diagonal (own image) entries
-            eye = jnp.eye(B, dtype=bool)[:, :, None, None]
-            attmap = attmap + jnp.where(eye, pen[:, None], 0.0)
+            # apply only on the diagonal (own image) entries: a scatter
+            # touches B*Q*V elements instead of rewriting the B^2 map
+            ar = jnp.arange(B)
+            attmap = attmap.at[ar, ar].add(pen)
 
         num_token = inputs["seq_len"].sum()
         logit = attmap.max(-1)  # [B, A, Q]

@@ -9,7 +9,7 @@ bilinear), and the diagonal-Gaussian KL.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,12 +41,17 @@ def independent_dropout(rng, items, p: float, deterministic: bool):
 
 
 class MLP(fnn.Module):
-    """Linear -> LeakyReLU -> SharedDropout (ref: common.py:23-51)."""
+    """Linear -> LeakyReLU -> SharedDropout (ref: common.py:23-51).
+
+    ``dtype=bfloat16`` runs the matmul on the MXU in bf16 (params stay
+    f32); outputs are cast back to f32.
+    """
 
     n_hidden: int
     dropout: float = 0.0
     activate: bool = True
     n_in: Optional[int] = None  # accepted for config parity; inferred
+    dtype: Optional[Any] = None
 
     @property
     def n_out(self):
@@ -58,7 +63,10 @@ class MLP(fnn.Module):
             self.n_hidden,
             kernel_init=fnn.initializers.orthogonal(),
             bias_init=fnn.initializers.zeros_init(),
+            dtype=self.dtype,
         )(x)
+        if self.dtype is not None:
+            x = x.astype(jnp.float32)
         if self.activate:
             x = fnn.leaky_relu(x) if hasattr(fnn, "leaky_relu") else jax.nn.leaky_relu(x)
         if self.dropout > 0 and not deterministic:

@@ -36,6 +36,7 @@ class VisBoxRelSimpleEncoder(fnn.Module):
     use_img: bool = False
     img_feat: bool = True
     n_in: int = 0  # config parity; inferred from inputs
+    dtype: object = None  # bf16 MXU compute for the 2048-d projections
 
     def get_dim(self, field=None) -> int:
         return self.n_hidden
@@ -57,7 +58,8 @@ class VisBoxRelSimpleEncoder(fnn.Module):
             use_bias=False,
             kernel_init=fnn.initializers.orthogonal(),
             name="rel_fc",
-        )(inputs)  # [B, N, h]
+            dtype=self.dtype,
+        )(inputs).astype(jnp.float32)  # [B, N, h]
         rel_b = self.param(
             "rel_fc_bias", fnn.initializers.zeros_init(), (self.n_hidden,)
         )
@@ -71,16 +73,17 @@ class VisBoxRelSimpleEncoder(fnn.Module):
             )
         out = {
             "box": MLP(self.n_hidden, self.dropout, self.activate,
-                       name="box_fc")(inputs, deterministic=deterministic),
+                       name="box_fc", dtype=self.dtype)(
+                inputs, deterministic=deterministic),
             "rel": rel,
         }
         if self.use_attr:
             out["attr"] = MLP(self.n_hidden, self.dropout, self.activate,
-                              name="attr_fc")(inputs,
-                                              deterministic=deterministic)
+                              name="attr_fc", dtype=self.dtype)(
+                inputs, deterministic=deterministic)
         if self.use_img:
             out["img"] = MLP(self.n_hidden, self.dropout, self.activate,
-                             name="img_fc")(
+                             name="img_fc", dtype=self.dtype)(
                 feat.mean(1, keepdims=True), deterministic=deterministic
             )
         return out

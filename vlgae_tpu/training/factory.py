@@ -135,7 +135,12 @@ def build_encoder(enc_cfg: Dict[str, Any]):
     return BlankEncoder(dropout=float(kw.get("dropout", 0.0)))
 
 
-def build_vis_encoder(cfg: Optional[Dict[str, Any]]):
+def _bf16(cfg: Dict[str, Any]) -> bool:
+    prec = str(cfg.get("trainer", {}).get("precision", 32))
+    return prec in ("16", "bf16", "bfloat16")
+
+
+def build_vis_encoder(cfg: Optional[Dict[str, Any]], dtype=None):
     if not cfg:
         return None
     kw = {k: v for k, v in cfg.items() if not k.startswith("_")}
@@ -146,6 +151,7 @@ def build_vis_encoder(cfg: Optional[Dict[str, Any]]):
         use_attr=bool(kw.get("use_attr", True)),
         use_img=bool(kw.get("use_img", False)),
         img_feat=bool(kw.get("img_feat", True)),
+        dtype=dtype,
     )
 
 
@@ -204,7 +210,12 @@ def build_ldndmv(cfg: Dict[str, Any], dm,
 def build_joint(cfg: Dict[str, Any], dm) -> DependencyBoxRel:
     mcfg = cfg.get("model", {})
     dep = build_ldndmv(cfg, dm, mcfg=mcfg.get("dep_model_cfg", {}))
-    vis_encoder = build_vis_encoder(cfg.get("vis_encoder"))
+    import jax.numpy as jnp
+
+    bf16 = _bf16(cfg)
+    vis_encoder = build_vis_encoder(
+        cfg.get("vis_encoder"), dtype=jnp.bfloat16 if bf16 else None
+    )
     jcfg = DependencyBoxRelConfig(
         add_rel=bool(mcfg.get("add_rel", True)),
         add_attr=bool(mcfg.get("add_attr", True)),
@@ -242,6 +253,7 @@ def build_joint(cfg: Dict[str, Any], dm) -> DependencyBoxRel:
         ),
         word_encoder_dropout=float((mcfg.get("word_encoder", {}) or {})
                                    .get("dropout", 0.33)),
+        bf16_matmul=bf16,
     )
     tag_vocab = dm.vocabs["tag"]
     to_ids = lambda tags: tuple(
