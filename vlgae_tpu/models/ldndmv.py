@@ -253,9 +253,14 @@ class DiscriminativeNDMV(fnn.Module):
 
 
 def loss_nll(scores, lengths, viterbi: bool):
-    """-(max or marginal) log-likelihood (ref: ldndmv.py:277-281)."""
+    """-(max or marginal) log-likelihood (ref: ldndmv.py:277-281).
+
+    Zero-length rows (batch padding for device/compile-shape rounding)
+    are masked out.
+    """
     dist = DMV1o((scores["merged_dec"], scores["merged_attach"]), lengths)
-    nll = -(dist.max if viterbi else dist.partition).sum()
+    total = dist.max if viterbi else dist.partition
+    nll = -jnp.where(lengths > 0, total, 0.0).sum()
     out = {"nll": nll}
     if scores.get("kl") is not None:
         out["lstm_kl"] = scores["kl"]

@@ -32,15 +32,23 @@ def replicate(tree, mesh: Mesh):
     )
 
 
-def pad_batch_to_devices(batch: dict, n_devices: int):
+def pad_batch_to_devices(batch: dict, n_devices: int,
+                         pow2: bool = False, min_b: int = 8):
     """Pad the batch axis to a multiple of the mesh size.
 
-    Pad rows replicate row 0 but carry seq_len clamped to the original
-    (mask weights handle correctness); returns (batch, real_size).
+    With ``pow2``, rounds the batch up to the next power of two (at
+    least ``min_b``) so variable token-budget batch sizes collapse into
+    a bounded set of compile shapes. Filler rows replicate row 0 with
+    ``seq_len`` zeroed; losses mask zero-length rows.
+    Returns (batch, real_size).
     """
     some = next(iter(batch.values()))
     B = some.shape[0]
-    pad = (-B) % n_devices
+    target = B
+    if pow2:
+        target = max(min_b, 1 << (B - 1).bit_length())
+    target = target + ((-target) % n_devices)
+    pad = target - B
     if pad == 0:
         return batch, B
     out = {}

@@ -345,8 +345,8 @@ class Pipeline:
             if val_every and i > 0 and i % val_every == 0:
                 val_fn()
             x, y = self._prep_batch(x, y, init_phase)
-            x, _ = pad_batch_to_devices(x, self.n_devices)
-            y, _ = pad_batch_to_devices(y, self.n_devices)
+            x, _ = pad_batch_to_devices(x, self.n_devices, pow2=True)
+            y, _ = pad_batch_to_devices(y, self.n_devices, pow2=True)
             shape_key = tuple(
                 (k, v.shape) for k, v in sorted(x.items())
             )
@@ -391,8 +391,8 @@ class Pipeline:
         losses = []
         all_outputs = {}
         for x, y in self.dm.batches(split, shuffle=False):
-            xp, real = pad_batch_to_devices(x, self.n_devices)
-            yp, _ = pad_batch_to_devices(y, self.n_devices)
+            xp, real = pad_batch_to_devices(x, self.n_devices, pow2=True)
+            yp, _ = pad_batch_to_devices(y, self.n_devices, pow2=True)
             shape_key = tuple((k, v.shape) for k, v in sorted(xp.items()))
             fn = self._get_eval_step(shape_key)
             inputs = {k: jnp.asarray(v) for k, v in xp.items()}
