@@ -180,3 +180,18 @@ def test_topk_structures():
     for i in range(k):
         heads = np.argmax(inds[i, 0].sum(-1)[:, 1:n + 1], axis=0)
         np.testing.assert_array_equal(heads, trees[order[i]])
+
+
+def test_remat_matches():
+    rng = np.random.default_rng(9)
+    dec, attach, root = random_potentials(rng, 4)
+    mdec, mattach, lengths = merged_batch([(dec, attach, root)])
+    import jax
+
+    def total(a, remat):
+        v, _ = dmv_inside(mdec, a, lengths, LogSemiring, remat=remat)
+        return jnp.sum(LogSemiring.unconvert(v))
+
+    g0 = jax.grad(lambda a: total(a, False))(mattach)
+    g1 = jax.grad(lambda a: total(a, True))(mattach)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-5)

@@ -57,7 +57,8 @@ def mask_potentials(arc, lengths, zero: float):
     return jnp.where(keep, arc, zero)
 
 
-def deptree_inside(arc, lengths, semiring: type[Semiring] = LogSemiring):
+def deptree_inside(arc, lengths, semiring: type[Semiring] = LogSemiring,
+                   remat: bool = False):
     """Inside pass for the single-root projective dependency CRF.
 
     Args:
@@ -156,8 +157,9 @@ def deptree_inside(arc, lengths, semiring: type[Semiring] = LogSemiring):
         return (Cr, CrE, Cl, ClK, Ir, IlH), None
 
     if N1 > 1:
+        body = jax.checkpoint(step) if remat else step
         (Cr, CrE, Cl, ClK, Ir, IlH), _ = lax.scan(
-            step, (Cr, CrE, Cl, ClK, Ir, IlH), jnp.arange(1, N1)
+            body, (Cr, CrE, Cl, ClK, Ir, IlH), jnp.arange(1, N1)
         )
 
     root_col = Cr[:, :, :, 0]  # [s, w, B]

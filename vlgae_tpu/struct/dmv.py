@@ -89,7 +89,8 @@ def _flip_shift(x, row_start, col_shift, n_rows, n_cols):
     return lax.dynamic_slice(x, starts, sizes)
 
 
-def dmv_inside(dec, attach, lengths, semiring: type[Semiring] = LogSemiring):
+def dmv_inside(dec, attach, lengths, semiring: type[Semiring] = LogSemiring,
+               remat: bool = False):
     """Inside pass of the first-order valence DMV.
 
     Args:
@@ -98,6 +99,9 @@ def dmv_inside(dec, attach, lengths, semiring: type[Semiring] = LogSemiring):
       attach: ``[B, N1, N1, 2(val)]`` head x child attach log-potentials.
       lengths: ``[B]`` word counts (excluding root).
       semiring: semiring class.
+      remat: rematerialize scan steps in the backward pass, trading
+        compute for O(N) less memory (the JAX counterpart of the
+        reference's checkpoint semirings, ref: semirings/checkpoint.py).
 
     Returns:
       ``(value, charts)`` where ``value`` is the stacked ``[s, B]``
@@ -204,8 +208,9 @@ def dmv_inside(dec, attach, lengths, semiring: type[Semiring] = LogSemiring):
         return (Cr, CrE, Cl, ClK, Ir, IlH), None
 
     if N1 > 1:
+        body = jax.checkpoint(step) if remat else step
         (Cr, CrE, Cl, ClK, Ir, IlH), _ = lax.scan(
-            step, (Cr, CrE, Cl, ClK, Ir, IlH), jnp.arange(1, N1)
+            body, (Cr, CrE, Cl, ClK, Ir, IlH), jnp.arange(1, N1)
         )
 
     # Partition readout: Cr[length, 0, NOCHILD] (ref: dmv.py:65).
