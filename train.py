@@ -23,6 +23,15 @@ def main(argv=None):
     overrides = list(argv if argv is not None else sys.argv[1:])
     from vlgae_tpu.utils.config import ConfigComposer, resolve
 
+    # hyperparameter-search bridge (the reference's NNICallback
+    # equivalent, ref: src/utility/pl_callback.py:295-356): a sweeper
+    # injects trial params as JSON overrides via VLGAE_SEARCH_PARAMS and
+    # reads the watched metric back from VLGAE_SEARCH_RESULT.
+    search_params = os.environ.get("VLGAE_SEARCH_PARAMS")
+    if search_params:
+        params = json.loads(search_params)
+        overrides += [f"{k}={v}" for k, v in params.items()]
+
     config_dir = os.environ.get(
         "VLGAE_CONFIG_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs"),
@@ -171,6 +180,10 @@ def main(argv=None):
     pipe.write_predictions(
         os.path.join(workdir, "test.predict.txt"), "test", test_out
     )
+    result_path = os.environ.get("VLGAE_SEARCH_RESULT")
+    if result_path:
+        with open(result_path, "w") as f:
+            json.dump({"best": pipe.best, "test": test}, f, default=float)
     return pipe, test
 
 
