@@ -46,7 +46,11 @@ def random_projective_tree(rng, n):
     return heads[1:]
 
 
-def make_corpus(root, n_imgs=8, feat_dim=64, n_box=12, seed=0):
+def make_corpus(root, n_imgs=8, feat_dim=64, n_box=12, seed=0,
+                grammar="random"):
+    """grammar: 'random' (random projective trees) or 'right'
+    (right-branching: head = previous word) -- the latter gives a
+    learnable deterministic structure for training-dynamics tests."""
     root = Path(root)
     (root / "id_list").mkdir(parents=True, exist_ok=True)
     (root / "det_feats").mkdir(exist_ok=True)
@@ -116,7 +120,10 @@ def make_corpus(root, n_imgs=8, feat_dim=64, n_box=12, seed=0):
                 words = [
                     WORDS[t][rng.integers(len(WORDS[t]))] for t in tags
                 ]
-                heads = random_projective_tree(rng, n)
+                if grammar == "right":
+                    heads = list(range(n))
+                else:
+                    heads = random_projective_tree(rng, n)
                 sents.append((words, tags, heads))
             lines.append(str(img_id))
         with open(root / "id_list" / f"{name}.txt", "w") as f:
