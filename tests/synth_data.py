@@ -47,10 +47,15 @@ def random_projective_tree(rng, n):
 
 
 def make_corpus(root, n_imgs=8, feat_dim=64, n_box=12, seed=0,
-                grammar="random"):
+                grammar="random", grounded=False):
     """grammar: 'random' (random projective trees) or 'right'
     (right-branching: head = previous word) -- the latter gives a
-    learnable deterministic structure for training-dynamics tests."""
+    learnable deterministic structure for training-dynamics tests.
+
+    grounded=True makes the corpus visually learnable: every caption of
+    an image uses the image's object word at token 1, and proposal box 0
+    carries a feature channel identifying that word -- so the matching
+    loss has real signal tying token 1 to box 0 (the gold alignment)."""
     root = Path(root)
     (root / "id_list").mkdir(parents=True, exist_ok=True)
     (root / "det_feats").mkdir(exist_ok=True)
@@ -67,8 +72,17 @@ def make_corpus(root, n_imgs=8, feat_dim=64, n_box=12, seed=0,
     roi_boxes = {}
 
     all_imgs = sorted(set(sum(img_ids.values(), [])))
+    obj_words = WORDS["NN"]
+    img_word = {
+        img_id: obj_words[rng.integers(len(obj_words))]
+        for img_id in all_imgs
+    }
     for img_id in all_imgs:
         feats = rng.standard_normal((n_box, feat_dim)).astype(np.float32)
+        if grounded:
+            wid = obj_words.index(img_word[img_id])
+            feats[0, :] *= 0.1
+            feats[0, wid] = 8.0  # identifiable box-0 channel
         boxes = np.abs(rng.standard_normal((n_box, 4))) * 50
         boxes[:, 2:] = boxes[:, :2] + 20 + boxes[:, 2:]
         np.save(root / "det_feats" / f"{img_id}.npy",
@@ -124,6 +138,9 @@ def make_corpus(root, n_imgs=8, feat_dim=64, n_box=12, seed=0,
                     heads = list(range(n))
                 else:
                     heads = random_projective_tree(rng, n)
+                if grounded:
+                    tags[1] = "NN"
+                    words[1] = img_word[img_id]
                 sents.append((words, tags, heads))
             lines.append(str(img_id))
         with open(root / "id_list" / f"{name}.txt", "w") as f:
