@@ -138,3 +138,19 @@ def test_eisner_as_dmv_emulation():
         want = np.asarray(deptree_partition(arc, lengths, sr))
         got = np.asarray(dmv_partition(dec, attach, lengths, sr))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_topk_structures():
+    n = 3
+    rng = np.random.default_rng(77)
+    arc, lengths = batch_arcs(rng, [n])
+    dist = DependencyCRF(arc, lengths)
+    k = 3
+    inds = np.asarray(dist.topk(k))
+    arc_np = np.asarray(arc)[0]
+    trees = list(oracles.all_trees(n))
+    scores = [oracles.score_deptree(arc_np, h) for h in trees]
+    order = np.argsort(scores)[::-1]
+    for i in range(k):
+        heads = np.argmax(inds[i, 0][:, 1:n + 1], axis=0)
+        np.testing.assert_array_equal(heads, trees[order[i]])

@@ -341,6 +341,19 @@ class DependencyCRF:
         )
         return value
 
+    def topk(self, k: int):
+        """Arc indicators of the k best trees, ``[k, B, N1, N1]``."""
+        S = KMaxSemiring(k)
+
+        def channel(i):
+            def total(a):
+                v, _ = _deptree.deptree_inside(a, self.lengths, S)
+                return jnp.sum(v[i])
+
+            return jax.grad(total)(self.arc)
+
+        return jnp.stack([channel(i) for i in range(k)])
+
     def log_prob(self, heads):
         """Log-probability of head sequences ``[B, N]`` (1-based, 0=root)."""
         B, N1 = self.arc.shape[:2]
