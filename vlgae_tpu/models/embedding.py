@@ -112,6 +112,11 @@ class TransformerItem(fnn.Module):
       - ``subword_mask``:   [B, S] bool
       - ``subword_first``:  [B, L] index of each word's first subword
     (ref: transformers_embedding.py:56-168).
+
+    Sequences longer than the encoder's position limit are encoded in
+    overlapping stride windows and stitched back together (keeping each
+    window's center region), mirroring the reference's stride-windowed
+    long-input path (ref: transformers_embedding.py:143-150).
     """
 
     cfg: EmbeddingItemCfg
@@ -126,18 +131,55 @@ class TransformerItem(fnn.Module):
         bert = FlaxBertModule(
             config=self.bert_config, add_pooling_layer=False, name="bert"
         )
-        out = bert(
-            input_ids=subword,
-            attention_mask=subword_mask.astype(jnp.int32),
-            token_type_ids=jnp.zeros_like(subword),
-            position_ids=jnp.broadcast_to(
-                jnp.arange(subword.shape[1])[None], subword.shape
-            ),
-            head_mask=None,
-            deterministic=True,
-            output_hidden_states=True,
-        )
-        layers = out.hidden_states[-cfg.n_layers:]
+
+        def encode(ids, mask):
+            out = bert(
+                input_ids=ids,
+                attention_mask=mask.astype(jnp.int32),
+                token_type_ids=jnp.zeros_like(ids),
+                position_ids=jnp.broadcast_to(
+                    jnp.arange(ids.shape[1])[None], ids.shape
+                ),
+                head_mask=None,
+                deterministic=True,
+                output_hidden_states=True,
+            )
+            return out.hidden_states[-cfg.n_layers:]
+
+        B, S = subword.shape
+        max_len = int(self.bert_config.max_position_embeddings)
+        if S <= max_len:
+            layers = encode(subword, subword_mask)
+        else:
+            # overlapping windows: stride = max_len // 2; keep the
+            # first half of window 0 and the second half of each window
+            # thereafter (static shapes; S and max_len are trace-time)
+            stride = max_len // 2
+            n_win = -(-(S - max_len) // stride) + 1
+            pad_to = max_len + (n_win - 1) * stride
+            ids = jnp.pad(subword, ((0, 0), (0, pad_to - S)))
+            msk = jnp.pad(subword_mask, ((0, 0), (0, pad_to - S)))
+            win_ids = jnp.stack(
+                [ids[:, k * stride: k * stride + max_len]
+                 for k in range(n_win)], 1,
+            ).reshape(B * n_win, max_len)
+            win_msk = jnp.stack(
+                [msk[:, k * stride: k * stride + max_len]
+                 for k in range(n_win)], 1,
+            ).reshape(B * n_win, max_len)
+            win_layers = encode(win_ids, win_msk)
+            half = stride // 2
+            layers = []
+            for wl in win_layers:
+                wl = wl.reshape(B, n_win, max_len, -1)
+                # window 0 contributes [0, stride+half); middle windows
+                # their centered [half, half+stride); the last window
+                # [half, max_len) -- contiguous cover of [0, pad_to)
+                parts = [wl[:, 0, : stride + half]]
+                for k in range(1, n_win - 1):
+                    parts.append(wl[:, k, half: half + stride])
+                parts.append(wl[:, n_win - 1, half:])
+                layers.append(jnp.concatenate(parts, axis=1)[:, :S])
         if cfg.n_layers > 1:
             h = ScalarMix(n_layers=cfg.n_layers)(
                 list(layers), deterministic=deterministic
