@@ -97,3 +97,54 @@ def test_optimizer_groups_and_frozen():
     head_up = updates["dependency"]["head_ff"]["w"]
     assert np.allclose(np.asarray(bert_up), 0.0)  # frozen
     assert np.allclose(np.abs(np.asarray(head_up)), 0.1, rtol=1e-3)
+
+
+def test_km_init_valid_tables():
+    from vlgae_tpu.models import km_init
+
+    rng = np.random.default_rng(0)
+    seqs = [rng.integers(0, 6, rng.integers(2, 6)).tolist()
+            for _ in range(30)]
+    dec, trans, root = km_init(seqs, n_token=6, smooth=0.1)
+    # log-prob tables normalize over their conditioning axes
+    np.testing.assert_allclose(np.exp(root).sum(), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.exp(trans).sum(1), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.exp(dec).sum(3), 1.0, rtol=1e-6)
+
+
+def test_good_init_valid_tables():
+    from vlgae_tpu.models import good_init
+
+    import oracles
+
+    rng = np.random.default_rng(1)
+    seqs, heads = [], []
+    for _ in range(10):
+        n = int(rng.integers(2, 5))
+        seqs.append(rng.integers(0, 5, n).tolist())
+        heads.append(next(oracles.all_trees(n)))
+    dec, trans, root = good_init(seqs, heads, n_token=5, smooth=0.1)
+    np.testing.assert_allclose(np.exp(root).sum(), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.exp(trans).sum(1), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.exp(dec).sum(3), 1.0, rtol=1e-6)
+
+
+def test_merge_outputs():
+    from vlgae_tpu.utils.fn import merge_outputs
+
+    r0 = {"arc": {0: [1], 2: [3]}}
+    r1 = {"arc": {1: [2]}, "align": {1: ["x"]}}
+    merged = merge_outputs([r0, r1])
+    assert merged["arc"] == {0: [1], 2: [3], 1: [2]}
+    assert merged["align"] == {1: ["x"]}
+
+
+def test_force_same_len_sampler():
+    from vlgae_tpu.data import ConstantTokenNumSampler
+
+    seq_len = [3, 5, 3, 5, 5, 7, 3]
+    s = ConstantTokenNumSampler(seq_len, max_token=100, num_bucket=1,
+                                force_same_len=True, shuffle=False)
+    for batch in s:
+        lens = {seq_len[i] for i in batch}
+        assert len(lens) == 1

@@ -141,13 +141,19 @@ def good_init(token_seqs, head_seqs, n_token: int, smooth: float):
     for toks, heads in zip(token_seqs, head_seqs):
         rules = generate_rule_1o(list(heads))
         toks = np.asarray(toks)
-        dec_counter[toks] += rules["dec_rule"]
-        root_counter[toks] += rules["root_rule"]
+        np.add.at(dec_counter, (toks,), rules["dec_rule"])
+        np.add.at(root_counter, (toks,), rules["root_rule"])
         n = len(toks)
+        # expand the per-pair attach counts with the direction axis
+        # (dir = RIGHT iff child right of head, ref: good_init.py:66-84)
+        pos_h = np.repeat(np.arange(n), n)
+        pos_c = np.tile(np.arange(n), n)
+        dirs = (pos_c > pos_h).astype(np.int64)  # RIGHT = 1
+        vals = rules["attach_rule"].reshape(n * n, 2)
         np.add.at(
             trans_counter,
-            (np.repeat(toks, n), np.tile(toks, n)),
-            rules["attach_rule"].reshape(n * n, 2),
+            (np.repeat(toks, n), np.tile(toks, n), dirs),
+            vals,
         )
 
     root_counter += smooth
