@@ -390,7 +390,7 @@ def eisner2o_grand(scores, lens):
 def _lse(x, axis=None):
     m = np.max(x, axis=axis, keepdims=True)
     out = m + np.log(np.sum(np.exp(x - m), axis=axis, keepdims=True))
-    return np.squeeze(out, axis=axis) if axis is not None else out
+    return np.squeeze(out, axis=axis) if axis is not None else np.squeeze(out)
 
 
 def _grand_one(s_a, s_g):
