@@ -38,3 +38,27 @@ def test_checkpoint_roundtrip(tmp_path):
     flat_r, _ = jax.tree_util.tree_flatten(restored)
     for a, b in zip(flat_o, flat_r):
         np.testing.assert_array_equal(a, b)
+
+
+def test_export_forward_roundtrip(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vlgae_tpu.training.export import export_forward, load_forward
+    from test_models import build_ldndmv, make_inputs
+
+    rng = np.random.default_rng(0)
+    model = build_ldndmv()
+    inputs = make_inputs(rng)
+    params = jax.jit(model.init)(jax.random.key(0), inputs)
+    path = str(tmp_path / "fwd.stablehlo")
+    size = export_forward(model, params, inputs, path, platforms=("cpu",))
+    assert size > 1000
+
+    fn = load_forward(path)
+    out = fn(dict(inputs))
+    want = model.apply(params, inputs, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out["merged_attach"]),
+        np.asarray(want["merged_attach"]), rtol=1e-5, atol=1e-5,
+    )
