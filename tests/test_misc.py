@@ -148,3 +148,19 @@ def test_force_same_len_sampler():
     for batch in s:
         lens = {seq_len[i] for i in batch}
         assert len(lens) == 1
+
+
+def test_tempmax_semiring_limits():
+    from vlgae_tpu.struct import TempMaxSemiring
+    from vlgae_tpu.struct.deptree import deptree_partition
+
+    rng = np.random.default_rng(3)
+    arc = jnp.asarray(rng.standard_normal((2, 6, 6)))
+    lengths = jnp.asarray(np.array([5, 4]))
+    log_z = np.asarray(deptree_partition(arc, lengths, LogSemiring))
+    max_z = np.asarray(deptree_partition(arc, lengths, MaxSemiring))
+    t1 = np.asarray(deptree_partition(arc, lengths, TempMaxSemiring(1.0)))
+    thot = np.asarray(deptree_partition(arc, lengths, TempMaxSemiring(200.0)))
+    np.testing.assert_allclose(t1, log_z, rtol=1e-5)
+    np.testing.assert_allclose(thot, max_z, atol=0.05)
+    assert np.all(thot >= max_z - 1e-5)

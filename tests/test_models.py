@@ -256,3 +256,47 @@ def test_joint_decode_grounding(joint_setup):
             assert len(token_cands) == 5
             for name, idx in token_cands:
                 assert name in ("obj", "rel", "attr", "img")
+
+
+def test_joint_alldep_lang_factors():
+    """word+alldep (train only): Q = (L+1) + (L+1)^2 arc queries, loss
+    finite, grads flow; eval falls back to the Viterbi-tree factors."""
+    rng = np.random.default_rng(7)
+    dep = build_ldndmv()
+    vis = VisBoxRelSimpleEncoder(n_hidden=24, img_feat=True, use_attr=True,
+                                 use_img=False)
+    cfg = DependencyBoxRelConfig(
+        add_rel=True, add_attr=True, add_image=True, match_hidden=16,
+        fuse_num_heads=2, language_factor_mode="word+alldep",
+    )
+    model = DependencyBoxRel(
+        cfg=cfg, dep_cfg=dep.cfg, dependency=dep, vis_encoder=vis,
+        pos_for_obj=(2,), pos_for_rel=(3,), pos_for_attr=(4,),
+    )
+    B, L, P = 3, 5, 4
+    inputs = make_inputs(rng, B=B, L=L)
+    inputs["vis_box_feat"] = jnp.asarray(
+        rng.standard_normal((B, P, 10)), jnp.float32
+    )
+    inputs["vis_box_mask"] = jnp.asarray(np.tile(np.arange(P) < 3, (B, 1)))
+    inputs["vis_available"] = jnp.ones(B, bool)
+    params = model.init(jax.random.key(0), inputs)
+
+    # eval path = maxdep fallback
+    out_eval = model.apply(params, inputs)
+    assert out_eval["match_logit"].shape[2] == 2 * (L + 1)
+
+    # train path = all-arc queries
+    def loss_fn(p):
+        o = model.apply(p, inputs, deterministic=False,
+                        rngs={"dropout": jax.random.key(1)})
+        assert o["match_logit"].shape[2] == (L + 1) + (L + 1) ** 2
+        dep_loss, dep_aux = loss_nll(o, inputs["seq_len"], viterbi=True)
+        total, _ = model.apply(
+            p, o, None, inputs, dep_loss, dep_aux, method=model.loss
+        )
+        return total
+
+    assert np.isfinite(float(loss_fn(params)))
+    g = jax.grad(loss_fn)(params)
+    assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))

@@ -205,9 +205,54 @@ class DependencyBoxRel(fnn.Module):
         txt = jnp.concatenate([word_repr, arc_repr], axis=1)
         return txt, txt_mask, txt_marginal
 
+    def lang_feat_all_arc(self, inputs, encoded, lang_score, mask,
+                          deterministic):
+        """word + ALL (head, dep) arcs weighted by their posterior
+        marginals (ref: joint.py:294-339 — the reference marks this mode
+        NOT TESTED and its ``txt_marginal`` shapes are inconsistent; here
+        words get weight 1 (root 0) and each arc gets its marginal).
+        Eval falls back to the Viterbi-tree factors like the reference.
+        Parameters are shared with ``lang_feat_max_tree``."""
+        if deterministic:
+            return self.lang_feat_max_tree(
+                inputs, encoded, lang_score, mask, deterministic
+            )
+        B, L = mask.shape
+        N = L + 1
+        q_mask = jnp.concatenate([jnp.zeros((B, 1), bool), mask], 1)
+        pair_mask = (q_mask[:, :, None] & q_mask[:, None, :]).reshape(B, -1)
+        txt_mask = jnp.concatenate([q_mask, pair_mask], 1)
+
+        mdec = jax.lax.stop_gradient(lang_score["merged_dec"])
+        mattach = jax.lax.stop_gradient(lang_score["merged_attach"])
+        _, marg = dmv_grads_fast(mdec, mattach, inputs["seq_len"], "log")
+        arc_margin = marg.sum(-1).reshape(B, -1)  # [B, N*N] head-major
+        txt_marginal = jnp.concatenate(
+            [q_mask.astype(arc_margin.dtype), arc_margin], 1
+        )
+
+        x = self._root_prepended(encoded["x"], mask, inputs["seq_len"])
+        word_repr = self.word_encoder(x, deterministic=deterministic)
+        child_repr = self.child_encoder(x, deterministic=deterministic)
+        parent_repr = self.parent_encoder(x, deterministic=deterministic)
+        # same factorized bilinear as max_tree, over every (head, dep) pair
+        arc_repr = (
+            jnp.einsum("bcx,xhy,bpy->bpch", child_repr, self.arc_encoder_w1,
+                       parent_repr)
+            + child_repr[:, None, :, :] @ self.arc_encoder_w2
+            + parent_repr[:, :, None, :] @ self.arc_encoder_w2
+            + self.arc_encoder_b
+        ).reshape(B, N * N, -1)
+        txt = jnp.concatenate([word_repr, arc_repr], axis=1)
+        return txt, txt_mask, txt_marginal
+
     def lang_feat(self, inputs, encoded, lang_score, mask, deterministic):
         if self.cfg.language_factor_mode == "word":
             return self.lang_feat_word_only(
+                inputs, encoded, lang_score, mask, deterministic
+            )
+        if self.cfg.language_factor_mode == "word+alldep":
+            return self.lang_feat_all_arc(
                 inputs, encoded, lang_score, mask, deterministic
             )
         return self.lang_feat_max_tree(

@@ -152,6 +152,24 @@ class StdSemiring(Semiring):
         return jnp.prod(xs, axis=_stack_axis(axis))
 
 
+def TempMaxSemiring(alpha: float):
+    """Temperature-annealed max semiring (ref: semirings.py TempMax).
+
+    ``sum = logsumexp(alpha * x) / alpha``: alpha -> inf recovers
+    MaxSemiring, alpha = 1 recovers LogSemiring. Gradients of the total
+    are the temperature-``alpha`` posterior over structures, useful for
+    annealed (soft-to-hard) decoding.
+    """
+
+    class _TempMax(_BaseLog):
+        @classmethod
+        def sum(cls, xs, axis=-1):
+            return jax.nn.logsumexp(alpha * xs, axis=_stack_axis(axis)) / alpha
+
+    _TempMax.__name__ = f"TempMaxSemiring({alpha})"
+    return _TempMax
+
+
 def KMaxSemiring(k: int):
     """Top-k max semiring factory (ref: semirings.py:210-275).
 
