@@ -124,3 +124,45 @@ def test_sampler_epoch_shuffle():
     assert e1 != e2  # epoch-seeded reshuffling
     flat = sorted(i for b in e2 for i in b)
     assert flat == list(range(40))
+
+
+def test_char_field(corpus):
+    import jax
+    import jax.numpy as jnp
+
+    from vlgae_tpu.models import CompositeEmbedding
+    from vlgae_tpu.models.embedding import EmbeddingItemCfg
+
+    dm = DepDataModule(
+        train_path=str(corpus / "train.conll"),
+        dev_path=str(corpus / "val.conll"),
+        test_path=str(corpus / "test.conll"),
+        num_lex=10, use_char=True, max_word_len=8,
+        train_dataloader={"batch_size": 8},
+        dev_dataloader={"batch_size": 8},
+        test_dataloader={"batch_size": 8},
+    ).setup()
+    n_char = dm.get_vocab_count()["n_char"]
+    assert n_char > 3
+    x, _ = next(iter(dm.batches("train", shuffle=False)))
+    B, L = x["word"].shape
+    assert x["char"].shape == (B, L, 8)
+    # pad words are all-zero char rows; real words have nonzero chars
+    for b in range(B):
+        n = x["seq_len"][b]
+        assert (x["char"][b, :n, 0] > 0).all()
+        assert (x["char"][b, n:] == 0).all()
+
+    emb = CompositeEmbedding(items=(
+        EmbeddingItemCfg("char", "char", "char", n_vocab=n_char,
+                         embedding_dim=12, char_dim=6,
+                         kernel_sizes=(1, 3), filter_nums=(4, 4)),
+    ))
+    params = emb.init(jax.random.key(0), {"char": jnp.asarray(x["char"])})
+    h, _ = emb.apply(params, {"char": jnp.asarray(x["char"])})
+    assert h.shape == (B, L, 12)
+    h = np.asarray(h)
+    assert np.all(np.isfinite(h))
+    # padding words embed to exactly zero
+    for b in range(B):
+        assert np.all(h[b, x["seq_len"][b]:] == 0.0)

@@ -183,14 +183,19 @@ class DepDataModule(DataModule):
     TARGETS = ("arc",)
 
     def __init__(self, use_tag=True, num_lex=0, num_token=99999,
-                 ignore_stop_word=False, headers=None, indexes=None, **kw):
+                 ignore_stop_word=False, headers=None, indexes=None,
+                 use_char=False, max_word_len=20, **kw):
         assert num_lex > 0 or use_tag, "nothing to build token"
         self.headers = headers or ["raw_word", "tag", "arc"]
         self.indexes = indexes or [1, 2, 3]
         self.use_tag = use_tag
+        self.use_char = use_char
+        self.max_word_len = max_word_len
         if use_tag:
             self.INPUTS = self.INPUTS + ("tag",)
             self.EXTRA_VOCAB = self.EXTRA_VOCAB + ("tag",)
+        if use_char:
+            self.INPUTS = self.INPUTS + ("char",)
         self.num_lex = num_lex
         self.num_token = num_token
         self.ignore_stop_word = ignore_stop_word
@@ -224,6 +229,16 @@ class DepDataModule(DataModule):
         """Token vocab: top-num_lex words x tags + <unk>:tag backoffs
         (ref: task/dep.py:81-132)."""
         from collections import Counter
+
+        if self.use_char:
+            # char vocab from train words (feeds CharItem, the char-CNN
+            # counterpart of the reference's fastNLP char adaptor)
+            cv = Vocabulary()
+            for inst in self.datasets["train"]:
+                for w in inst["word"]:
+                    cv.update(list(w.lower()))
+            cv.build()
+            self.vocabs["char"] = cv
 
         if self.token_mode == "tag":
             self.vocabs["token"] = self.vocabs["tag"]
@@ -296,15 +311,23 @@ class DepDataModule(DataModule):
         }
         if self.use_tag:
             x["tag"] = np.zeros((B, L), np.int32)
+        if self.use_char:
+            # fixed char width keeps jit shapes stable across batches
+            x["char"] = np.zeros((B, L, self.max_word_len), np.int32)
         y = {"arc": np.zeros((B, L), np.int32)}
         wv, tv = self.vocabs["word"], self.vocabs.get("tag")
         kv = self.vocabs["token"]
+        cv = self.vocabs.get("char")
         for b, inst in enumerate(insts):
             n = inst["seq_len"]
             x["word"][b, :n] = [wv[w] for w in inst["word"]]
             x["token"][b, :n] = [kv[t] for t in inst["token"]]
             if self.use_tag:
                 x["tag"][b, :n] = [tv[t] for t in inst["tag"]]
+            if self.use_char:
+                for i, w in enumerate(inst["word"]):
+                    cs = [cv[c] for c in w.lower()[: self.max_word_len]]
+                    x["char"][b, i, : len(cs)] = cs
             y["arc"][b, :n] = inst["arc"]
         return x, y
 

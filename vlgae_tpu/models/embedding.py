@@ -50,6 +50,10 @@ class EmbeddingItemCfg:
     n_out: int = 0
     requires_grad: bool = False
     pooling: str = "first"  # first | last | mean
+    # char-only (kind == 'char')
+    char_dim: int = 50
+    kernel_sizes: Tuple[int, ...] = (1, 3, 5)
+    filter_nums: Tuple[int, ...] = (20, 30, 40)
 
     @property
     def embed_size(self) -> int:
@@ -102,6 +106,42 @@ class StaticItem(fnn.Module):
         else:  # vae
             kl = -0.5 * jnp.sum(lvar - mean ** 2 - jnp.exp(lvar) + 1)
         return z, kl
+
+
+class CharItem(fnn.Module):
+    """Char-CNN word embeddings.
+
+    Counterpart of fastNLP's CNNCharEmbedding as wrapped by the
+    reference's char adaptor (ref: fastnlp_embedding.py:84-89): embed
+    characters, run parallel 1-D convolutions of several widths along
+    the word, ReLU, masked max-pool over characters, project to
+    ``embedding_dim``. Char id 0 is padding; all-pad (padding) words
+    embed to zero.
+    """
+
+    cfg: EmbeddingItemCfg
+
+    @fnn.compact
+    def __call__(self, chars, *, deterministic: bool = True):
+        cfg = self.cfg
+        B, L, W = chars.shape
+        table = self.param(
+            "char_embedding", fnn.initializers.normal(stddev=1.0),
+            (cfg.n_vocab, cfg.char_dim),
+        )
+        h = jnp.take(table, chars.reshape(B * L, W), axis=0)  # [BL, W, C]
+        cmask = (chars > 0).reshape(B * L, W, 1)
+        h = jnp.where(cmask, h, 0.0)
+        pooled = []
+        for k, nf in zip(cfg.kernel_sizes, cfg.filter_nums):
+            c = fnn.Conv(nf, (k,), padding="SAME", name=f"conv{k}")(h)
+            c = jnp.where(cmask, jax.nn.relu(c), -1e9)
+            pooled.append(c.max(axis=1))
+        out = fnn.Dense(cfg.embedding_dim, name="proj")(
+            jnp.concatenate(pooled, axis=-1)
+        )
+        out = jnp.where(cmask.any(axis=1), out, 0.0)
+        return out.reshape(B, L, cfg.embedding_dim), None
 
 
 class TransformerItem(fnn.Module):
@@ -213,6 +253,8 @@ class CompositeEmbedding(fnn.Module):
                 mods[cfg.name] = TransformerItem(
                     cfg, bert_config=self.bert_config, name=cfg.name
                 )
+            elif cfg.kind == "char":
+                mods[cfg.name] = CharItem(cfg, name=cfg.name)
             else:
                 mods[cfg.name] = StaticItem(
                     cfg, pretrained=self.pretrained.get(cfg.name),

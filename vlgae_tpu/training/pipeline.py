@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import sys
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional
@@ -48,6 +49,19 @@ class TrainState:
     step: int = 0
     epoch: int = 0
     rng: Any = None
+
+
+def _progress_bar(it, total, desc, enable=True):
+    """ASCII tqdm over training batches (counterpart of the reference's
+    MyProgressBar, ref: pl_callback.py:72-149). Falls back to the raw
+    iterator when disabled, not a tty, or tqdm is unavailable."""
+    if not enable or not sys.stderr.isatty():
+        return it
+    try:
+        from tqdm import tqdm
+    except Exception:
+        return it
+    return tqdm(it, total=total, desc=desc, ascii=True, leave=False)
 
 
 class Pipeline:
@@ -339,7 +353,11 @@ class Pipeline:
             or 1
         )
         pending_grads, pending_n = None, 0
-        for i, (x, y) in enumerate(self.dm.batches(split)):
+        bar = _progress_bar(self.dm.batches(split), total=sampler_len,
+                            desc=f"epoch {epoch}",
+                            enable=self.cfg.get("trainer", {})
+                                       .get("progress_bar", True))
+        for i, (x, y) in enumerate(bar):
             if fast_dev_run and i >= fast_dev_run:
                 break
             if val_every and i > 0 and i % val_every == 0:
@@ -374,6 +392,8 @@ class Pipeline:
                     pending_grads, pending_n = None, 0
                     st.step += 1
             losses.append(float(loss))
+            if hasattr(bar, "set_postfix_str") and (i % log_every == 0):
+                bar.set_postfix_str(f"loss={losses[-1]:.4f}")
         if pending_grads is not None and pending_n:
             st.params, st.opt_state = self._get_apply_step()(
                 st.params, st.opt_state, pending_grads, 1.0 / pending_n
