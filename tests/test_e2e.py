@@ -168,3 +168,50 @@ def test_lang_only_exp(corpus, tmp_path, monkeypatch):
     assert "uas" in test_result
     assert 0 <= test_result["uas"] <= 100
     assert os.path.exists(os.path.join(pipe.workdir, "dev.predict.txt"))
+
+
+def test_search_bridge(corpus, tmp_path, monkeypatch):
+    """Hyperparameter-search bridge: params in via VLGAE_SEARCH_PARAMS,
+    watched metric out via VLGAE_SEARCH_RESULT (NNICallback counterpart)."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, REPO)
+    import train as train_cli
+
+    result_path = str(tmp_path / "trial_result.json")
+    monkeypatch.setenv(
+        "VLGAE_SEARCH_PARAMS",
+        json.dumps({"optimizer.args.lr": 0.002, "trainer.max_epochs": 1}),
+    )
+    monkeypatch.setenv("VLGAE_SEARCH_RESULT", result_path)
+    overrides = [
+        "exp=lang_only",
+        f"root={corpus.parent}",
+        f"datamodule.train_path={corpus}/train",
+        f"datamodule.train_init_path={corpus}/init",
+        f"datamodule.dev_path={corpus}/val",
+        f"datamodule.test_path={corpus}/test",
+        f"datamodule.sg_path={corpus}/vlparse.json",
+        "datamodule.pad_boxes=8",
+        "datamodule.train_dataloader.batch_size=8",
+        "datamodule.train_dataloader.num_bucket=1",
+        "datamodule.dev_dataloader.num_bucket=1",
+        "datamodule.dev_dataloader.batch_size=8",
+        "datamodule.test_dataloader.num_bucket=1",
+        "datamodule.test_dataloader.batch_size=8",
+        "model.init_epoch=0",
+        "_hidden_size=32",
+        "_rank=4",
+        "encoder.hidden_size=16",
+        "encoder.num_layers=1",
+        "model.root_emb_dim=8",
+        "model.dec_emb_dim=8",
+    ]
+    pipe, _ = train_cli.main(overrides)
+    # injected trial params took effect
+    assert pipe.cfg["trainer"]["max_epochs"] == 1
+    assert pipe.cfg["optimizer"]["args"]["lr"] == pytest.approx(0.002)
+    # metric reported back for the sweeper
+    with open(result_path) as f:
+        result = json.load(f)
+    assert "best" in result and "test" in result
+    assert "uas" in result["test"]
