@@ -300,3 +300,67 @@ def test_joint_alldep_lang_factors():
     assert np.isfinite(float(loss_fn(params)))
     g = jax.grad(loss_fn)(params)
     assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_vit_patch_encoder_joint():
+    """CLIP/ViT-swap stretch config: patch-grid visual factors drive the
+    full joint model; frozen ViT gets zero gradients."""
+    from transformers import ViTConfig
+
+    from vlgae_tpu.models import VisViTPatchEncoder, patch_boxes
+
+    rng = np.random.default_rng(11)
+    vit_cfg = ViTConfig(
+        hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, image_size=32, patch_size=16, num_channels=3,
+    )
+    vis = VisViTPatchEncoder(n_hidden=24, vit_config=vit_cfg,
+                             use_attr=True, use_img=False)
+    P = vis.n_patches
+    assert P == 4
+    bx = patch_boxes(32, 16)
+    assert bx.shape == (P, 4) and bx[1].tolist() == [16, 0, 32, 16]
+
+    dep = build_ldndmv()
+    cfg = DependencyBoxRelConfig(
+        add_rel=True, add_attr=True, add_image=True, match_hidden=16,
+        fuse_num_heads=2,
+    )
+    model = DependencyBoxRel(
+        cfg=cfg, dep_cfg=dep.cfg, dependency=dep, vis_encoder=vis,
+        pos_for_obj=(2,), pos_for_rel=(3,), pos_for_attr=(4,),
+    )
+    B, L = 3, 5
+    inputs = make_inputs(rng, B=B, L=L)
+    inputs["vis_pixels"] = jnp.asarray(
+        rng.standard_normal((B, 32, 32, 3)), jnp.float32
+    )
+    inputs["vis_box_feat"] = jnp.zeros((B, P, 1))  # presence flag only
+    inputs["vis_box_mask"] = jnp.ones((B, P), bool)
+    inputs["vis_available"] = jnp.ones(B, bool)
+
+    # route pixels: the joint model reads vis via its vis_encoder
+    params = model.init(jax.random.key(0), inputs)
+    out = model.apply(params, inputs)
+    n_factors = P + P * P + P + 1
+    assert out["match_logit"].shape == (B, B, 2 * (L + 1), n_factors)
+
+    def loss_fn(p):
+        o = model.apply(p, inputs)
+        dep_loss, dep_aux = loss_nll(o, inputs["seq_len"], viterbi=True)
+        total, _ = model.apply(
+            p, o, None, inputs, dep_loss, dep_aux, method=model.loss
+        )
+        return total
+
+    assert np.isfinite(float(loss_fn(params)))
+    g = jax.grad(loss_fn)(params)
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(g)
+    vit_norm = sum(float(jnp.abs(v).sum()) for k, v in flat.items()
+                   if "vit" in "/".join(map(str, k)))
+    head_norm = sum(float(jnp.abs(v).sum()) for k, v in flat.items()
+                    if "head" in "/".join(map(str, k)))
+    assert vit_norm == 0.0       # frozen backbone
+    assert head_norm > 0.0       # factor head trains

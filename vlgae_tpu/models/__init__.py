@@ -23,7 +23,7 @@ from .ldndmv import (
     loss_nll,
 )
 from .text_encoder import BlankEncoder, MLPEncoder, MultiEncoder, RNNEncoder
-from .vis_encoder import VisBoxRelSimpleEncoder
+from .vis_encoder import VisBoxRelSimpleEncoder, VisViTPatchEncoder, patch_boxes
 from . import dmv_model
 
 __all__ = [
@@ -47,6 +47,8 @@ __all__ = [
     "RNNEncoder",
     "MultiEncoder",
     "VisBoxRelSimpleEncoder",
+    "VisViTPatchEncoder",
+    "patch_boxes",
     "dmv_model",
     "km_init",
     "good_init",

@@ -14,8 +14,11 @@ pairwise projections before the activation -- algebraically identical,
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as fnn
 
 from .nn import MLP, shared_dropout
@@ -87,3 +90,72 @@ class VisBoxRelSimpleEncoder(fnn.Module):
                 feat.mean(1, keepdims=True), deterministic=deterministic
             )
         return out
+
+
+class VisViTPatchEncoder(fnn.Module):
+    """ViT/CLIP-style patch-grid visual encoder (the "CLIP/ViT swap"
+    stretch configuration).
+
+    Instead of Faster-RCNN region features, raw pixels are encoded by a
+    (by default frozen) ViT; every patch becomes a visual "box" factor
+    whose geometry is its patch rectangle (:func:`patch_boxes`), so the
+    whole grounding stack downstream — relations as patch pairs,
+    attributes, matching, IoU decode — applies unchanged. Expects
+    ``x["vis_pixels"]`` as ``[B, H, W, 3]`` floats (NHWC, the flax ViT
+    convention).
+    """
+
+    n_hidden: int
+    vit_config: Any = None  # transformers.ViTConfig
+    requires_grad: bool = False
+    dropout: float = 0.0
+    activate: bool = True
+    use_attr: bool = True
+    use_img: bool = False
+    img_feat: bool = True
+    dtype: object = None
+
+    def get_dim(self, field=None) -> int:
+        return self.n_hidden
+
+    @property
+    def n_patches(self) -> int:
+        g = self.vit_config.image_size // self.vit_config.patch_size
+        return g * g
+
+    def setup(self):
+        from transformers.models.vit.modeling_flax_vit import FlaxViTModule
+
+        self.vit = FlaxViTModule(self.vit_config, dtype=jnp.float32,
+                                 add_pooling_layer=False)
+        self.head = VisBoxRelSimpleEncoder(
+            n_hidden=self.n_hidden, dropout=self.dropout,
+            activate=self.activate, use_attr=self.use_attr,
+            use_img=self.use_img, img_feat=self.img_feat, dtype=self.dtype,
+            name="head",
+        )
+
+    def __call__(self, x, *, deterministic: bool = True):
+        hidden = self.vit(
+            pixel_values=x["vis_pixels"], deterministic=True
+        ).last_hidden_state[:, 1:]  # drop CLS -> [B, n_patches, D]
+        if not self.requires_grad:
+            hidden = jax.lax.stop_gradient(hidden)
+        return self.head({"vis_box_feat": hidden},
+                         deterministic=deterministic)
+
+
+def patch_boxes(image_size: int, patch_size: int) -> np.ndarray:
+    """[n_patches, 4] (x1, y1, x2, y2) rectangles of a ViT patch grid, in
+    row-major patch order (matching the ViT sequence order); use these as
+    the proposal boxes for IoU-based grounding evaluation."""
+    g = image_size // patch_size
+    return np.array(
+        [
+            [c * patch_size, r * patch_size,
+             (c + 1) * patch_size, (r + 1) * patch_size]
+            for r in range(g)
+            for c in range(g)
+        ],
+        dtype=np.float64,
+    )
