@@ -364,3 +364,45 @@ def test_vit_patch_encoder_joint():
                     if "head" in "/".join(map(str, k)))
     assert vit_norm == 0.0       # frozen backbone
     assert head_norm > 0.0       # factor head trains
+
+
+def test_joint_reduced_gather_cap_img_loss():
+    """Alternative strategy branches (ref: joint.py:421-432, 493-499):
+    gather_logit='reduced' yields a [B_txt, B_img] caption-image logit and
+    cap_img|ce trains on its diagonal."""
+    rng = np.random.default_rng(13)
+    dep = build_ldndmv()
+    vis = VisBoxRelSimpleEncoder(n_hidden=24, img_feat=True, use_attr=True,
+                                 use_img=False)
+    cfg = DependencyBoxRelConfig(
+        add_rel=True, add_attr=True, add_image=True, match_hidden=16,
+        fuse_num_heads=2, gather_logit_mode="reduced",
+        loss_grounding_mode="cap_img|ce", loss_use_pos_prior=False,
+        decode_grounding_mode="on_img",
+    )
+    model = DependencyBoxRel(
+        cfg=cfg, dep_cfg=dep.cfg, dependency=dep, vis_encoder=vis,
+        pos_for_obj=(2,), pos_for_rel=(3,), pos_for_attr=(4,),
+    )
+    B, L, P = 4, 5, 4
+    inputs = make_inputs(rng, B=B, L=L)
+    inputs["vis_box_feat"] = jnp.asarray(
+        rng.standard_normal((B, P, 10)), jnp.float32
+    )
+    inputs["vis_box_mask"] = jnp.asarray(np.tile(np.arange(P) < 3, (B, 1)))
+    inputs["vis_available"] = jnp.ones(B, bool)
+    params = model.init(jax.random.key(0), inputs)
+    out = model.apply(params, inputs)
+    assert out["match_logit"].shape == (B, B)
+
+    def loss_fn(p):
+        o = model.apply(p, inputs)
+        dep_loss, dep_aux = loss_nll(o, inputs["seq_len"], viterbi=True)
+        total, _ = model.apply(
+            p, o, None, inputs, dep_loss, dep_aux, method=model.loss
+        )
+        return total
+
+    assert np.isfinite(float(loss_fn(params)))
+    g = jax.grad(loss_fn)(params)
+    assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
