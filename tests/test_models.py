@@ -406,3 +406,29 @@ def test_joint_reduced_gather_cap_img_loss():
     assert np.isfinite(float(loss_fn(params)))
     g = jax.grad(loss_fn)(params)
     assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_joint_fuse_none(joint_setup):
+    """feat_fuse_mode='none' skips the attention augmentation but keeps
+    the matching stack (ref: joint.py:346-349)."""
+    rng = np.random.default_rng(17)
+    dep = build_ldndmv()
+    vis = VisBoxRelSimpleEncoder(n_hidden=24, img_feat=True, use_attr=True,
+                                 use_img=False)
+    cfg = DependencyBoxRelConfig(
+        add_rel=True, add_attr=True, add_image=True, match_hidden=16,
+        feat_fuse_mode="none",
+    )
+    model = DependencyBoxRel(
+        cfg=cfg, dep_cfg=dep.cfg, dependency=dep, vis_encoder=vis,
+        pos_for_obj=(2,), pos_for_rel=(3,), pos_for_attr=(4,),
+    )
+    _, _, inputs, _ = joint_setup
+    params = model.init(jax.random.key(0), inputs)
+    out = model.apply(params, inputs)
+    B, L = inputs["token"].shape
+    assert out["match_logit"].shape[:3] == (B, B, 2 * (L + 1))
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params["params"])
+    assert not any("attention" in "/".join(map(str, k)) for k in flat)
