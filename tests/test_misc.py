@@ -45,8 +45,34 @@ def test_config_compose_vlgae():
     assert cfg["model"]["dep_model_cfg"]["head_ff"]["n_hidden"] == 256
     assert cfg["model"]["dep_model_cfg"]["init_method"] == "y"  # relative interp
     assert cfg["embedding"]["use_subword"] is True
-    assert cfg["optimizer"]["groups"][0]["lr"] == 1.0e-5
+    # exp=vlgae overrides optimize to 'linear' (exponential decay, no
+    # param groups) — ref: config/exp/vlgae.yaml:6,
+    # config/model/optimize/linear.yaml
+    assert cfg["optimizer"]["groups"] == []
+    assert "exponential" in cfg["scheduler"]["args"]["_target_"]
+    assert cfg["scheduler"]["args"]["gamma"] == "0.75**(1/2000)"
+    assert cfg["optimizer"]["args"]["lr"] == 1.0e-3
     assert cfg["datamodule"]["train_path"] == "/tmp/x/data/vlparse/train"
+
+
+def test_config_compose_optimize_parity():
+    """Scheduler/optimizer/group parity for every exp=/model= combo
+    against the reference YAML semantics (ref: config/model/optimize/)."""
+    # default model=vlgae (no exp): optimize 'constant' — transformer lr
+    # group, no scheduler (ref: config/model/vlgae.yaml:6 defaults)
+    cfg = resolve(ConfigComposer("configs").compose(
+        "config_train", ["root=/tmp/x"]
+    ))
+    assert cfg["optimizer"]["groups"][0]["lr"] == 1.0e-5
+    assert cfg["optimizer"]["groups"][0]["pattern"] == (
+        "dependency.embedding.transformer"
+    )
+    assert cfg.get("scheduler") is None
+    # exp=lang_only keeps its model's optimize choice
+    cfg = resolve(ConfigComposer("configs").compose(
+        "config_train", ["exp=lang_only", "root=/tmp/x"]
+    ))
+    assert "optimizer" in cfg
 
 
 def test_config_overrides_dotted():
@@ -84,7 +110,7 @@ def test_optimizer_groups_and_frozen():
             "head_ff": {"w": jnp.ones(3)},
         }
     }
-    tx, _ = build_optimizer(
+    tx, _, _ = build_optimizer(
         params,
         {"groups": [{"pattern": "head_ff", "lr": 0.1}],
          "args": {"lr": 1e-3}},
@@ -97,6 +123,36 @@ def test_optimizer_groups_and_frozen():
     head_up = updates["dependency"]["head_ff"]["w"]
     assert np.allclose(np.asarray(bert_up), 0.0)  # frozen
     assert np.allclose(np.abs(np.asarray(head_up)), 0.1, rtol=1e-3)
+
+
+def test_plateau_scheduler_wiring():
+    """ReduceLROnPlateau drives an inject_hyperparams(scale) stage
+    (ref: scheduler.py:27-28)."""
+    from vlgae_tpu.training.optim import build_optimizer
+
+    params = {"w": jnp.ones(3)}
+    tx, sched, plateau = build_optimizer(
+        params, {"args": {"lr": 0.1}},
+        scheduler_cfg={"args": {
+            "_target_": "torch.optim.lr_scheduler.ReduceLROnPlateau",
+            "factor": 0.5, "patience": 0,
+        }},
+    )
+    assert sched is None and plateau is not None
+    state = tx.init(params)
+    grads = {"w": jnp.ones(3)}
+    up1, state = tx.update(grads, state, params)
+    plateau.step(1.0, 0.1)
+    scale = plateau.step(1.0, 0.1)  # no improvement -> halve
+    assert scale == 0.5
+    inject = state[-1]
+    state = state[:-1] + (inject._replace(
+        hyperparams={**inject.hyperparams, "step_size": jnp.asarray(scale)}
+    ),)
+    up2, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(
+        np.asarray(up2["w"]), 0.5 * np.asarray(up1["w"]), rtol=1e-4
+    )
 
 
 def test_km_init_valid_tables():

@@ -432,3 +432,77 @@ def test_joint_fuse_none(joint_setup):
 
     flat = traverse_util.flatten_dict(params["params"])
     assert not any("attention" in "/".join(map(str, k)) for k in flat)
+
+
+def test_rnn_encoder_cat_emb_and_init_versions():
+    """cat_emb concatenates raw embeddings after projection
+    (ref: rnn_encoder.py:180); init_version selects zy (orthogonal +
+    zero bias) vs biased (xavier + forget-gate bias 1)."""
+    from flax import traverse_util
+
+    from vlgae_tpu.models import RNNEncoder
+
+    B, L, D = 2, 5, 12
+    emb = jnp.asarray(np.random.default_rng(0).standard_normal((B, L, D)),
+                      jnp.float32)
+    mask = jnp.ones((B, L), bool)
+    enc = RNNEncoder(hidden_size=8, num_layers=1, cat_emb=True,
+                     cat_emb_size=D, init_version="biased")
+    params = enc.init(jax.random.key(0), emb, mask)
+    out = enc.apply(params, emb, mask)
+    assert out["x"].shape == (B, L, 2 * 8 + D)
+    assert enc.get_dim("x") == 2 * 8 + D
+    np.testing.assert_allclose(np.asarray(out["x"][..., -D:]),
+                               np.asarray(emb), rtol=1e-6)
+    # biased init: forget-gate bias block is 1
+    flat = traverse_util.flatten_dict(params["params"])
+    biases = [v for k, v in flat.items() if k[-1] == "bias"
+              and "cell" in "/".join(map(str, k))]
+    assert biases and all(
+        np.allclose(np.asarray(b)[8:16], 1.0) for b in biases
+    )
+    # proj_size loudly unsupported (ref: rnn_encoder.py:80)
+    bad = RNNEncoder(hidden_size=8, num_layers=1, proj_size=4)
+    with pytest.raises(NotImplementedError):
+        bad.init(jax.random.key(0), emb, mask)
+
+
+def test_joint_on_img_decode():
+    """decode_grounding_mode='on_img' returns per-caption best image and
+    no factor alignment (ref: joint.py:506-510)."""
+    rng = np.random.default_rng(23)
+    dep = build_ldndmv()
+    vis = VisBoxRelSimpleEncoder(n_hidden=24, img_feat=True, use_attr=True,
+                                 use_img=False)
+    cfg = DependencyBoxRelConfig(
+        add_rel=True, add_attr=True, add_image=True, match_hidden=16,
+        gather_logit_mode="reduced", loss_grounding_mode="cap_img|ce",
+        decode_grounding_mode="on_img",
+    )
+    model = DependencyBoxRel(
+        cfg=cfg, dep_cfg=dep.cfg, dependency=dep, vis_encoder=vis,
+        pos_for_obj=(2,), pos_for_rel=(3,), pos_for_attr=(4,),
+    )
+    B, L, P = 4, 5, 4
+    inputs = make_inputs(rng, B=B, L=L)
+    inputs["vis_box_feat"] = jnp.asarray(
+        rng.standard_normal((B, P, 10)), jnp.float32
+    )
+    inputs["vis_box_mask"] = jnp.ones((B, P), bool)
+    inputs["vis_available"] = jnp.ones(B, bool)
+    params = model.init(jax.random.key(0), inputs)
+    out = model.apply(params, inputs)
+    g = model.apply(params, out, inputs,
+                    method=model.decode_grounding_device)
+    assert set(g) == {"txt_to_img"}
+    assert g["txt_to_img"].shape == (B,)
+    assert np.all(np.asarray(g["txt_to_img"]) < B)
+
+
+def test_joint_config_rejects_unknown_strategies():
+    with pytest.raises(ValueError):
+        DependencyBoxRelConfig(language_factor_mode="nope")
+    with pytest.raises(ValueError):
+        DependencyBoxRelConfig(decode_grounding_mode="bogus")
+    with pytest.raises(ValueError):
+        DependencyBoxRelConfig(gather_logit_mode="reduced")  # needs on_img

@@ -133,7 +133,7 @@ def main(argv=None):
 
     start_patience = int(trainer_cfg.get("start_patience", 0) or 0)
 
-    def run_validation(epoch):
+    def run_validation(epoch, mid_epoch=False):
         val, val_out = pipe.evaluate("dev")
         watch = val.get(pipe.watch_field.split("/", 1)[-1], val.get("loss"))
         # only track/save best after start_patience epochs
@@ -144,13 +144,20 @@ def main(argv=None):
             pipe.write_predictions(
                 os.path.join(workdir, "dev.predict.txt"), "dev", val_out
             )
+        if mid_epoch:
+            # mid-epoch validations get their own log line so they are
+            # not lost when the epoch line reports only the final one
+            mlog.log({**{f"val/{k}": v for k, v in val.items()},
+                      "epoch": epoch, "mid_epoch": True},
+                     step=pipe.state.step)
+        pipe.plateau_step(watch)
         return val
 
     for epoch in range(max_epochs):
         pipe.normalize_embeddings("epoch")
         stats = pipe.train_epoch(
             epoch,
-            val_fn=lambda e=None: run_validation(epoch),
+            val_fn=lambda e=None: run_validation(epoch, mid_epoch=True),
             val_check_interval=val_check,
         )
         val = run_validation(epoch)

@@ -65,6 +65,35 @@ class DependencyBoxRelConfig:
     # accumulation; the chart DPs always stay f32)
     bf16_matmul: bool = False
 
+    def __post_init__(self):
+        """Reject unknown strategy strings loudly (the reference's
+        function-group registry raises KeyError on unregistered impls,
+        ref: base.py:118-142)."""
+        _check = {
+            "language_factor_mode": ("word", "word+maxdep", "word+alldep"),
+            "visual_factor_mode": ("unprune",),
+            "feat_fuse_mode": ("none", "attention"),
+            "gather_logit_mode": ("simple", "reduced"),
+            "loss_grounding_mode": ("factor|ce", "cap_img|ce"),
+            "decode_grounding_mode": ("on_img", "on_factor"),
+        }
+        for field_name, allowed in _check.items():
+            v = getattr(self, field_name)
+            if v not in allowed:
+                raise ValueError(
+                    f"{field_name}={v!r} not in {allowed}"
+                )
+        if (self.gather_logit_mode == "reduced"
+                and self.decode_grounding_mode != "on_img"):
+            raise ValueError(
+                "gather_logit_mode='reduced' produces [B_txt, B_img] "
+                "caption logits; decode_grounding_mode must be 'on_img'"
+            )
+        # NOTE fuse_replace: in the reference it only gates a dict copy
+        # before mutations that are commented out (ref: joint.py:387);
+        # behavior is identical either way, so it is accepted for recipe
+        # compatibility and intentionally has no effect here.
+
 
 class DependencyBoxRel(fnn.Module):
     cfg: DependencyBoxRelConfig
@@ -438,7 +467,11 @@ class DependencyBoxRel(fnn.Module):
     # -- grounding decode (device part; ref: joint.py:506-629) ----------------
     def decode_grounding_device(self, out, inputs, topk: int = 5):
         cfg = self.cfg
-        match_logit = out["match_logit"]  # [B, A, Q, V]
+        match_logit = out["match_logit"]  # [B, A, Q, V] (or [B, A] reduced)
+        if cfg.decode_grounding_mode == "on_img":
+            # per-caption best image only; the ALIGN column is a
+            # placeholder in this mode (ref: joint.py:506-510,633-638)
+            return {"txt_to_img": jnp.argmax(match_logit, axis=1)}
         vis_feat, vis_mask, vis_split = out["vis_packed"][:3]
         factor2img = match_logit.max(-1).argmax(1)  # [B, Q]
         logit = jnp.einsum("bbqv->bqv", match_logit)  # [B, Q, V]

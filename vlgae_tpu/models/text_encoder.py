@@ -65,17 +65,45 @@ class BlankEncoder(fnn.Module):
         return {"x": x}
 
 
+def _forget_bias_init(key, shape, dtype=jnp.float32):
+    """Zero bias with the forget-gate block set to 1 (gate order in flax
+    is i, f, g, o) — the reference's 'biased' init_version
+    (ref: rnn_encoder.py reset_parameters)."""
+    b = jnp.zeros(shape, dtype)
+    h = shape[-1] // 4
+    return b.at[..., h: 2 * h].set(1.0)
+
+
+def _lstm_inits(init_version: str):
+    if init_version == "zy":
+        # orthogonal weights + zero bias
+        return dict(
+            kernel_init=fnn.initializers.orthogonal(),
+            recurrent_kernel_init=fnn.initializers.orthogonal(),
+            bias_init=fnn.initializers.zeros_init(),
+        )
+    if init_version == "biased":
+        return dict(
+            kernel_init=fnn.initializers.xavier_uniform(),
+            recurrent_kernel_init=fnn.initializers.xavier_uniform(),
+            bias_init=_forget_bias_init,
+        )
+    raise ValueError(f"unknown init_version: {init_version!r}")
+
+
 class _MaskedLSTMStep(fnn.Module):
     """One masked LSTM step with a shared (variational) hidden-dropout
     mask carried alongside the state (ref: nn/variational_lstm.py)."""
 
     hidden: int
+    init_version: str = "zy"
 
     @fnn.compact
     def __call__(self, carry, inp):
         c, h, hmask = carry
         xt, mt = inp
-        cell = fnn.OptimizedLSTMCell(self.hidden)
+        cell = fnn.OptimizedLSTMCell(self.hidden,
+                                     **_lstm_inits(self.init_version))
         (nc, nh), out = cell((c, h * hmask), xt)
         keep = mt[:, None]
         nc = jnp.where(keep, nc, c)
@@ -89,6 +117,7 @@ class _LSTMLayer(fnn.Module):
     hidden: int
     reverse: bool = False
     recurrent_dropout: float = 0.0
+    init_version: str = "zy"
 
     @fnn.compact
     def __call__(self, x, mask, *, deterministic: bool = True):
@@ -118,7 +147,8 @@ class _LSTMLayer(fnn.Module):
             in_axes=0,
             out_axes=0,
         )
-        _, ys = scan(self.hidden, name="cell")(carry, (xs, ms))
+        _, ys = scan(self.hidden, self.init_version,
+                     name="cell")(carry, (xs, ms))
         if self.reverse:
             ys = ys[::-1]
         return jnp.moveaxis(ys, 0, 1)
@@ -143,13 +173,17 @@ class RNNEncoder(fnn.Module):
     proj_size: int = 0
     init_version: str = "zy"
     cat_emb: bool = False
+    cat_emb_size: int = 0  # embedding.embed_size, required when cat_emb
 
     def get_dim(self, field: str = "x") -> int:
-        base = 2 * self.hidden_size
-        if self.reproject_out:
-            return self.reproject_out
         if self.output_layers == -2 and not self.mix:
-            return base * self.num_layers + (0 if not self.cat_emb else 0)
+            base = 2 * self.hidden_size * self.num_layers
+        else:
+            base = 2 * self.hidden_size
+        if self.reproject_out:
+            base = self.reproject_out
+        if self.cat_emb:
+            base += self.cat_emb_size
         return base
 
     @property
@@ -158,6 +192,13 @@ class RNNEncoder(fnn.Module):
 
     @fnn.compact
     def __call__(self, emb, mask, *, deterministic: bool = True):
+        if self.proj_size:
+            # the reference's own variational path asserts the same
+            # (ref: rnn_encoder.py:80 'Not supported')
+            raise NotImplementedError("proj_size > 0 is not supported")
+        if self.cat_emb and not self.cat_emb_size:
+            raise ValueError("cat_emb requires cat_emb_size "
+                             "(= embedding.embed_size)")
         x = emb
         if self.reproject_emb:
             x = fnn.Dense(self.reproject_emb)(x)
@@ -174,11 +215,13 @@ class RNNEncoder(fnn.Module):
             fwd = _LSTMLayer(
                 self.hidden_size, reverse=False,
                 recurrent_dropout=self.lstm_dropout if self.shared_dropout_flag else 0.0,
+                init_version=self.init_version,
                 name=f"fwd_{i}",
             )(x, mask, deterministic=deterministic)
             bwd = _LSTMLayer(
                 self.hidden_size, reverse=True,
                 recurrent_dropout=self.lstm_dropout if self.shared_dropout_flag else 0.0,
+                init_version=self.init_version,
                 name=f"bwd_{i}",
             )(x, mask, deterministic=deterministic)
             x = jnp.concatenate([fwd, bwd], -1)
@@ -211,6 +254,9 @@ class RNNEncoder(fnn.Module):
             )
         if self.reproject_out:
             out = fnn.Dense(self.reproject_out)(out)
+        if self.cat_emb:
+            # concat raw embeddings after projection (ref: rnn_encoder.py:180)
+            out = jnp.concatenate([out, emb], -1)
         # 'hiddens' mirrors the reference's last-layer hx exposure used by
         # context_mode='hx' (ref: ldndmv.py:223-224)
         return {"x": out, "hiddens": jnp.stack(hidden_last)}

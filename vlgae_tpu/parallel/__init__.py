@@ -9,10 +9,12 @@ gradient all-reduce automatically from the sharding annotations.
 
 from .mesh import (
     data_parallel_mesh,
+    gather_predictions,
     make_parallel_step,
     pad_batch_to_devices,
     replicate,
     shard_batch,
+    sum_across_processes,
 )
 
 __all__ = [
@@ -21,4 +23,6 @@ __all__ = [
     "replicate",
     "pad_batch_to_devices",
     "make_parallel_step",
+    "sum_across_processes",
+    "gather_predictions",
 ]

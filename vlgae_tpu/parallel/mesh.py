@@ -60,6 +60,49 @@ def pad_batch_to_devices(batch: dict, n_devices: int,
     return out, B
 
 
+def sum_across_processes(vec: np.ndarray) -> np.ndarray:
+    """Sum a metric state vector across hosts (the JAX counterpart of
+    torchmetrics ``dist_reduce_fx='sum'``, ref: metric.py:21-26).
+
+    Under the single-controller runtime every process sees the global
+    outputs, so with one process this is the identity; in a multi-host
+    launch each process accumulates its addressable shard and the states
+    are summed over DCN here.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(vec)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(vec))
+    return np.asarray(gathered).sum(axis=0)
+
+
+def gather_predictions(outputs: dict) -> dict:
+    """All-gather per-process prediction dicts keyed by sample id and
+    merge them (the ``all_gather_object`` + ``merge_outputs`` path of
+    the reference, ref: pipeline.py:234-240, fn.py:166-175)."""
+    if jax.process_count() == 1:
+        return outputs
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    from ..utils.fn import merge_outputs
+
+    buf = np.frombuffer(pickle.dumps(outputs), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([buf.size], np.int64)
+    ).reshape(-1)
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[: buf.size] = buf
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    dicts = [
+        pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+        for i in range(gathered.shape[0])
+    ]
+    return merge_outputs([{"outputs": d} for d in dicts])["outputs"]
+
+
 def make_parallel_step(step_fn, mesh: Mesh, donate_state: bool = True):
     """Jit a (state, batch, ...) step with DP shardings over ``mesh``.
 

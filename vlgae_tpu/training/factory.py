@@ -107,7 +107,7 @@ def _bert_config(model_name: str):
     return config, config.hidden_size
 
 
-def build_encoder(enc_cfg: Dict[str, Any]):
+def build_encoder(enc_cfg: Dict[str, Any], emb_size: int = 0):
     target = enc_cfg.get("_target_", "")
     kw = {k: v for k, v in enc_cfg.items() if not k.startswith("_")}
     if "MLPEncoder" in target:
@@ -129,6 +129,10 @@ def build_encoder(enc_cfg: Dict[str, Any]):
             post_dropout=float(kw.get("post_dropout", 0.0)),
             lstm_dropout=float(kw.get("lstm_dropout", 0.33)),
             output_layers=int(kw.get("output_layers", -1)),
+            proj_size=int(kw.get("proj_size", 0) or 0),
+            init_version=str(kw.get("init_version", "zy")),
+            cat_emb=bool(kw.get("cat_emb", False)),
+            cat_emb_size=emb_size if kw.get("cat_emb") else 0,
         )
     from ..models import BlankEncoder
 
@@ -189,7 +193,8 @@ def build_ldndmv(cfg: Dict[str, Any], dm,
                  mcfg: Optional[Dict[str, Any]] = None) -> DiscriminativeNDMV:
     mcfg = mcfg if mcfg is not None else cfg.get("model", {})
     embedding = build_embedding(cfg.get("embedding", {}), dm)
-    encoder = build_encoder(cfg.get("encoder", {}))
+    encoder = build_encoder(cfg.get("encoder", {}),
+                            emb_size=embedding.embed_size)
     dep_cfg = _ldndmv_cfg(mcfg, dm)
     fmask = ()
     if dep_cfg.function_mask and "tag" in dm.vocabs:

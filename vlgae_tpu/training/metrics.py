@@ -33,6 +33,11 @@ class MetricBase:
     def compute(self) -> Dict[str, float]:
         raise NotImplementedError
 
+    def sync(self, reduce_fn):
+        """Reduce summed states across hosts before compute (the
+        ``dist_reduce_fx='sum'`` counterpart, ref: metric.py:21-26)."""
+        self.load_state_vector(reduce_fn(self.state_vector()))
+
 
 class DependencyParsingMetric(MetricBase):
     """UAS/UCM (+LAS/LCM when labeled) (ref: metric.py:18-61)."""
@@ -214,6 +219,11 @@ class MultiMetric(MetricBase):
         self.main.update(predict, gold, mask)
         for m in self.others.values():
             m.update(predict, gold, mask)
+
+    def sync(self, reduce_fn):
+        self.main.sync(reduce_fn)
+        for m in self.others.values():
+            m.sync(reduce_fn)
 
     def compute(self):
         out = dict(self.main.compute())

@@ -78,9 +78,13 @@ def build_optimizer(params, optimizer_cfg: Dict[str, Any],
                     frozen_patterns: Optional[List[str]] = None):
     """Adam with regex groups (ref: pipeline.py:176-204).
 
-    Returns (optax transform, schedule_fn or None).
+    Returns (optax transform, schedule_fn or None, plateau or None).
     ``frozen_patterns`` zeroes updates for matching params (the JAX
-    counterpart of ``requires_grad=False``).
+    counterpart of ``requires_grad=False``). When the scheduler config
+    targets ``ReduceLROnPlateau`` (ref: scheduler.py:27-28), an
+    ``inject_hyperparams(scale)`` stage is appended whose ``step_size``
+    the host updates from the returned :class:`ReduceLROnPlateau` after
+    each validation.
     """
     args = dict(optimizer_cfg.get("args", {"lr": 1e-3}))
     args.pop("_target_", None)
@@ -90,10 +94,18 @@ def build_optimizer(params, optimizer_cfg: Dict[str, Any],
     wd = float(args.pop("weight_decay", 0.0))
 
     schedule = None
+    plateau = None
     if scheduler_cfg:
-        schedule = make_schedule(
-            scheduler_cfg.get("args", {}), base_lr, steps_per_epoch
-        )
+        sched_args = dict(scheduler_cfg.get("args", {}))
+        target = str(sched_args.get("_target_", ""))
+        if "ReduceLROnPlateau" in target or "plateau" in target.lower():
+            sched_args.pop("_target_", None)
+            plateau = ReduceLROnPlateau(**{
+                k: v for k, v in sched_args.items()
+                if k in ("mode", "factor", "patience", "min_lr")
+            })
+        else:
+            schedule = make_schedule(sched_args, base_lr, steps_per_epoch)
 
     def adam(lr):
         tx = optax.adamw(
@@ -140,7 +152,13 @@ def build_optimizer(params, optimizer_cfg: Dict[str, Any],
 
     if gradient_clip_val and gradient_clip_val > 0:
         tx = optax.chain(optax.clip_by_global_norm(gradient_clip_val), tx)
-    return tx, schedule
+    if plateau is not None:
+        # final LR-scale stage; its step_size lives in the opt_state so
+        # the host can update it between epochs without re-jitting
+        tx = optax.chain(tx, optax.inject_hyperparams(optax.scale)(
+            step_size=1.0
+        ))
+    return tx, schedule, plateau
 
 
 class ReduceLROnPlateau:

@@ -31,7 +31,15 @@ from ..models import (
     loss_nll,
 )
 from ..models.dmv_init import generate_rule_1o
-from ..parallel import data_parallel_mesh, pad_batch_to_devices, replicate
+from ..parallel import (
+    data_parallel_mesh,
+    gather_predictions,
+    pad_batch_to_devices,
+    replicate,
+    shard_batch,
+    sum_across_processes,
+)
+from jax.sharding import NamedSharding, PartitionSpec
 from ..utils.fn import coeff_at, parse_coeff_schedule, reduce_loss
 from .metrics import (
     BoxRelMatchingMetric,
@@ -67,7 +75,8 @@ def _progress_bar(it, total, desc, enable=True):
 class Pipeline:
     """Owns model + params + optimizer + metrics (ref: pipeline.py:30-271)."""
 
-    def __init__(self, model, dm, cfg: Dict[str, Any], workdir: str = "."):
+    def __init__(self, model, dm, cfg: Dict[str, Any], workdir: str = ".",
+                 devices=None):
         self.model = model
         self.dm = dm
         self.cfg = cfg
@@ -77,8 +86,13 @@ class Pipeline:
         )
         self.is_joint = hasattr(model, "dependency")
         self.dep_cfg = model.dep_cfg if self.is_joint else model.cfg
-        self.mesh = data_parallel_mesh()
+        # 1-D data-parallel mesh: batches sharded over 'data', params
+        # replicated; XLA derives the gradient psum over ICI (the
+        # reference's DDP/NCCL equivalent, ref: src/__init__.py:93-105)
+        self.mesh = data_parallel_mesh(devices)
         self.n_devices = len(self.mesh.devices.reshape(-1))
+        self._repl = NamedSharding(self.mesh, PartitionSpec())
+        self._data = NamedSharding(self.mesh, PartitionSpec("data"))
         self.metrics = self._build_metrics()
         self._jit_cache: Dict[Any, Callable] = {}
         self.alpha_schedule = None
@@ -88,6 +102,15 @@ class Pipeline:
                 model_cfg["grounding_interpolation"]
             )
         self.state: Optional[TrainState] = None
+        self.plateau = None
+        emb = getattr(
+            model.dependency if self.is_joint else model, "embedding", None
+        )
+        # per-batch embedding re-whitening (ref: embedding.py:116-119)
+        self._batch_normalize = any(
+            item.kind == "static" and item.normalize_time == "batch"
+            for item in getattr(emb, "items", ())
+        )
         self.best = None
         self.watch_field = cfg.get("watch_field", "val/loss")
         self.watch_mode = cfg.get("watch_mode", "min")
@@ -127,7 +150,7 @@ class Pipeline:
         for item in emb.items:
             if item.kind == "transformer" and not item.requires_grad:
                 frozen.append(rf"\b{item.name}\b.*bert")
-        tx, schedule = build_optimizer(
+        tx, schedule, plateau = build_optimizer(
             params,
             self.cfg.get("optimizer", {"args": {"lr": 1e-3}}),
             self.cfg.get("scheduler"),
@@ -139,6 +162,7 @@ class Pipeline:
         )
         self.tx = tx
         self._schedule = schedule
+        self.plateau = plateau
         opt_state = tx.init(params)
         params = replicate(params, self.mesh)
         opt_state = replicate(opt_state, self.mesh)
@@ -175,9 +199,30 @@ class Pipeline:
             self.cfg.get("optimizer", {}).get("args", {}).get("lr", 1e-3)
         )
         sched = getattr(self, "_schedule", None)
-        if sched is None:
-            return base
-        return float(sched(self.state.step))
+        if sched is not None:
+            base = float(sched(self.state.step))
+        plateau = getattr(self, "plateau", None)
+        if plateau is not None:
+            base *= plateau.scale
+        return base
+
+    def plateau_step(self, value):
+        """Feed the watched metric to ReduceLROnPlateau and push the new
+        LR scale into the opt_state (ref: scheduler.py:27-28; Lightning
+        drives it from the monitored val metric)."""
+        plateau = getattr(self, "plateau", None)
+        if plateau is None or value is None:
+            return
+        base_lr = float(
+            self.cfg.get("optimizer", {}).get("args", {}).get("lr", 1e-3)
+        )
+        scale = plateau.step(float(value), base_lr)
+        inject = self.state.opt_state[-1]
+        hp = dict(inject.hyperparams)
+        hp["step_size"] = jnp.asarray(scale, jnp.float32)
+        self.state.opt_state = self.state.opt_state[:-1] + (
+            inject._replace(hyperparams=hp),
+        )
 
     # -- loss assembly ------------------------------------------------------
     def _alpha(self, epoch: int) -> float:
@@ -232,7 +277,14 @@ class Pipeline:
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt, loss, aux
 
-        fn = jax.jit(step, donate_argnums=(0, 1))
+        # params/opt replicated, batch sharded over 'data': XLA inserts
+        # the gradient all-reduce (ref DDP: src/__init__.py:93-105)
+        fn = jax.jit(
+            step,
+            in_shardings=(self._repl, self._repl, self._data, self._data,
+                          self._repl),
+            donate_argnums=(0, 1),
+        )
         self._jit_cache[key] = fn
         return fn
 
@@ -253,7 +305,10 @@ class Pipeline:
             )(params)
             return loss, grads
 
-        fn = jax.jit(step)
+        fn = jax.jit(
+            step,
+            in_shardings=(self._repl, self._data, self._data, self._repl),
+        )
         self._jit_cache[key] = fn
         return fn
 
@@ -267,7 +322,11 @@ class Pipeline:
             updates, new_opt = self.tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_opt
 
-        fn = jax.jit(step, donate_argnums=(0, 1, 2))
+        fn = jax.jit(
+            step,
+            in_shardings=(self._repl, self._repl, self._repl, None),
+            donate_argnums=(0, 1, 2),
+        )
         self._jit_cache[key] = fn
         return fn
 
@@ -291,13 +350,16 @@ class Pipeline:
                     params, out, inputs,
                     method=self.model.decode_grounding_device,
                 )
-                result["txt_to_factor_idx"] = g["txt_to_factor_idx"]
                 result["txt_to_img"] = g["txt_to_img"]
-                result["txt_mask"] = out["txt_packed"][1]
-                result["vis_split"] = jnp.asarray(out["vis_packed"][2])
+                if "txt_to_factor_idx" in g:  # on_factor mode
+                    result["txt_to_factor_idx"] = g["txt_to_factor_idx"]
+                    result["txt_mask"] = out["txt_packed"][1]
+                    result["vis_split"] = jnp.asarray(out["vis_packed"][2])
             return result
 
-        fn = jax.jit(step)
+        fn = jax.jit(
+            step, in_shardings=(self._repl, self._data, self._data)
+        )
         self._jit_cache[key] = fn
         return fn
 
@@ -362,6 +424,8 @@ class Pipeline:
                 break
             if val_every and i > 0 and i % val_every == 0:
                 val_fn()
+            if self._batch_normalize:
+                self.normalize_embeddings("batch")
             x, y = self._prep_batch(x, y, init_phase)
             x, _ = pad_batch_to_devices(x, self.n_devices, pow2=True)
             y, _ = pad_batch_to_devices(y, self.n_devices, pow2=True)
@@ -369,8 +433,8 @@ class Pipeline:
                 (k, v.shape) for k, v in sorted(x.items())
             )
             st.rng, sub = jax.random.split(st.rng)
-            inputs = {k: jnp.asarray(v) for k, v in x.items()}
-            gold = {k: jnp.asarray(v) for k, v in y.items()}
+            inputs = shard_batch(x, self.mesh)
+            gold = shard_batch(y, self.mesh)
             if accum <= 1:
                 fn = self._get_train_step(shape_key, init_phase, alpha)
                 st.params, st.opt_state, loss, aux = fn(
@@ -408,21 +472,26 @@ class Pipeline:
     def evaluate(self, split: str = "dev", metric_idx: int = 0):
         metric = self.metrics[metric_idx]
         metric.reset()
-        losses = []
+        loss_sum, token_sum = 0.0, 0
         all_outputs = {}
         for x, y in self.dm.batches(split, shuffle=False):
             xp, real = pad_batch_to_devices(x, self.n_devices, pow2=True)
             yp, _ = pad_batch_to_devices(y, self.n_devices, pow2=True)
             shape_key = tuple((k, v.shape) for k, v in sorted(xp.items()))
             fn = self._get_eval_step(shape_key)
-            inputs = {k: jnp.asarray(v) for k, v in xp.items()}
-            gold = {k: jnp.asarray(v) for k, v in yp.items()}
+            inputs = shard_batch(xp, self.mesh)
+            gold = shard_batch(yp, self.mesh)
             res = fn(self.state.params, inputs, gold)
             res = {k: np.asarray(v) for k, v in res.items()}
             res = {k: v[:real] if (hasattr(v, "shape") and v.ndim > 0
                                    and v.shape[0] >= real and k != "vis_split")
                    else v for k, v in res.items()}
-            losses.append(float(res["loss"]) / max(x["seq_len"].sum(), 1))
+            # epoch loss is reduced over the epoch token count, not an
+            # average of per-batch averages (which would weight small
+            # final batches equally with full ones; ref reduces over the
+            # epoch token count)
+            loss_sum += float(res["loss"])
+            token_sum += int(x["seq_len"].sum())
             mask = (
                 np.arange(x["word"].shape[1])[None, :]
                 < np.asarray(x["seq_len"])[:, None]
@@ -444,6 +513,9 @@ class Pipeline:
                     res["txt_to_img"][j][res["txt_mask"][j]]
                     for j in range(res["arc"].shape[0])
                 ]
+            elif "txt_to_img" in res:
+                # decode_grounding_mode='on_img': per-caption image only
+                predict["txt_to_img"] = list(res["txt_to_img"])
             metric.update(predict, y, mask)
             for j, sid in enumerate(np.asarray(x["id"])):
                 n = int(x["seq_len"][j])
@@ -452,14 +524,33 @@ class Pipeline:
                     tf = predict["txt_to_factor"][j]
                     rec["txt_to_factor"] = tf
                 all_outputs[int(sid)] = rec
+        # multi-host: sum metric states over DCN, merge predictions by
+        # sample id (ref: pipeline.py:234-240, metric.py:21-26);
+        # identity under the single-controller runtime
+        metric.sync(sum_across_processes)
+        all_outputs = gather_predictions(all_outputs)
         result = metric.compute()
-        result["loss"] = float(np.mean(losses)) if losses else 0.0
+        result["loss"] = float(
+            sum_across_processes(np.array([loss_sum]))[0]
+        ) / max(int(sum_across_processes(np.array([token_sum]))[0]), 1)
         return result, all_outputs
 
     # -- prediction writing (ref: joint.py:719-743, ldndmv.py:307-315) --------
     def write_predictions(self, path: str, split: str, outputs: Dict[int, dict]):
         ds = self.dm.datasets[split]
         tag_vocab = self.dm.vocabs.get("tag")
+        # on_img grounding writes an 'X' ALIGN placeholder
+        # (ref: joint.py:633-638 format_factor_prediction_on_img)
+        on_img = (
+            self.is_joint
+            and getattr(self.model.cfg, "decode_grounding_mode", "")
+            == "on_img"
+        )
+        word_only = (
+            self.is_joint
+            and getattr(self.model.cfg, "language_factor_mode", "word")
+            == "word"
+        )
         with open(path, "w", encoding="utf-8") as f:
             for inst in ds:
                 sid = inst["id"]
@@ -476,6 +567,8 @@ class Pipeline:
                     row = [i + 1, word, tag, head]
                     if factors is not None:
                         row.append(self._format_factor(factors, i, n))
+                    elif on_img:
+                        row.append("X" if word_only else "X\tX")
                     rows.append(row)
                 write_conll_rows(f, rows)
 

@@ -140,19 +140,31 @@ class ConfigComposer:
         if key.startswith("optional "):
             key = key[len("optional "):]
             optional = True
-        if key.startswith("/"):
-            group = key[1:]
-        elif "@" in key:
-            group_part, pkg = key.split("@", 1)
-            group = (base_group + "/" + group_part).strip("/")
-            path = self._group_file(group, name)
-            if not os.path.exists(path):
-                group = group_part.strip("/")
+        pkg = None
+        if "@" in key:
+            # package-annotated default, e.g.
+            # ``override /model/optimize@optimize: linear``
+            # (ref: /root/reference/config/exp/vlgae.yaml:6)
+            key, pkg = key.split("@", 1)
+        if pkg is not None:
+            if key.startswith("/"):
+                group = key[1:]
+            else:
+                group = (base_group + "/" + key).strip("/")
+                if not os.path.exists(self._group_file(group, name)):
+                    group = key.strip("/")
             data, package = _read_yaml(self._group_file(group, name))
             data.pop("defaults", None)
+            if package == "_global_":
+                # the file's own @package header wins: its content is
+                # written as global keys (matching the reference's
+                # effective composition of model/optimize/*.yaml)
+                return _deep_merge(acc, data)
             content: dict = {}
             _set_path(content, pkg, data)
             return _deep_merge(acc, content)
+        if key.startswith("/"):
+            group = key[1:]
         else:
             group = (base_group + "/" + key).strip("/")
             if not os.path.exists(self._group_file(group, name)):
