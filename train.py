@@ -101,17 +101,13 @@ def main(argv=None):
     # warm-start / resume (ref: train.py:76-77 resume vs load_from_checkpoint)
     warm = cfg.get("pipeline", {}).get("load_from_checkpoint")
     resume = trainer_cfg.get("resume_from_checkpoint")
+    start_epoch = 0
     if warm:
-        pipe.load_checkpoint(warm)
+        pipe.load_checkpoint(warm)  # params only (warm start)
     elif resume:
-        pipe.load_checkpoint(resume)
-        meta_path = str(resume) + ".json"
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
-            pipe.state.step = int(meta.get("step", 0))
-            pipe.state.epoch = int(meta.get("epoch", 0))
-            pipe.best = meta.get("best")
+        # full restore: params + opt_state + RNG + counters + sampler
+        pipe.load_checkpoint(resume, load_training_state=True)
+        start_epoch = pipe.state.epoch + 1
 
     max_epochs = int(trainer_cfg.get("max_epochs", 50))
     max_steps = int(trainer_cfg.get("max_steps", -1) or -1)
@@ -153,7 +149,7 @@ def main(argv=None):
         pipe.plateau_step(watch)
         return val
 
-    for epoch in range(max_epochs):
+    for epoch in range(start_epoch, max_epochs):
         pipe.normalize_embeddings("epoch")
         stats = pipe.train_epoch(
             epoch,

@@ -175,6 +175,25 @@ class DataModule:
     def collate(self, name, insts, pad_len):
         raise NotImplementedError
 
+    def set_sampler_epoch(self, epoch: int):
+        """Fast-forward the epoch-seeded shuffles so a resumed run sees
+        the same batch order the uninterrupted run would have (the
+        reference relies on Lightning restoring the epoch counter that
+        seeds its samplers, ref: sampler.py:89-95)."""
+        if not hasattr(self, "_sampler_cache"):
+            self._sampler_cache = {}
+        for name in ("train", "train_init"):
+            if name not in self.datasets:
+                continue
+            key = (name, None)
+            sampler = self._sampler_cache.get(key)
+            if sampler is None:
+                sampler = self.make_sampler(name, None)
+                self._sampler_cache[key] = sampler
+            sampler.epoch = epoch
+            if hasattr(sampler, "_refresh"):
+                sampler._refresh()
+
 
 class DepDataModule(DataModule):
     """CoNLL dependency data (ref: src/datamodule/task/dep.py)."""

@@ -600,25 +600,87 @@ class Pipeline:
             return True
         return value < self.best if self.watch_mode == "min" else value > self.best
 
-    def save_checkpoint(self, name: str = "last"):
+    def save_checkpoint(self, name: str = "last",
+                        params_only: bool = False):
+        """Full-fidelity checkpoint: params + optimizer state + RNG key
+        (orbax), with step/epoch/best/plateau in a sidecar json — the
+        scope of the reference's Lightning checkpoints
+        (ref: pl_callback.py:169-292). ``params_only`` keeps the light
+        export format."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.workdir, "checkpoint", name))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, self.state.params, force=True)
+        if params_only:
+            tree = self.state.params
+        else:
+            tree = {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "rng": jax.random.key_data(self.state.rng),
+            }
+        ckptr.save(path, tree, force=True)
         ckptr.wait_until_finished()
         meta = {"step": self.state.step, "epoch": self.state.epoch,
-                "best": self.best}
+                "best": self.best,
+                "format": "params" if params_only else "full"}
+        plateau = getattr(self, "plateau", None)
+        if plateau is not None:
+            meta["plateau"] = {"best": plateau.best, "bad": plateau.bad,
+                               "scale": plateau.scale}
         with open(os.path.join(self.workdir, "checkpoint", f"{name}.json"),
                   "w") as f:
             json.dump(meta, f)
         return path
 
-    def load_checkpoint(self, path: str):
+    def load_checkpoint(self, path: str, load_training_state: bool = False):
+        """Restore params (and, for resume, optimizer state + RNG +
+        counters + sampler epoch). Accepts both full and params-only
+        checkpoints; warm-starts (``load_from_checkpoint``) take only
+        the params from a full checkpoint."""
         import orbax.checkpoint as ocp
 
+        path = os.path.abspath(path)
+        meta = {}
+        meta_path = path + ".json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        fmt = meta.get("format", "params")
+
         ckptr = ocp.StandardCheckpointer()
-        target = jax.tree_util.tree_map(np.asarray, self.state.params)
-        restored = ckptr.restore(os.path.abspath(path), target=target)
-        self.state.params = replicate(restored, self.mesh)
+        host = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
+        if fmt == "full":
+            target = {
+                "params": host(self.state.params),
+                "opt_state": host(self.state.opt_state),
+                "rng": np.asarray(jax.random.key_data(self.state.rng)),
+            }
+            restored = ckptr.restore(path, target=target)
+            self.state.params = replicate(restored["params"], self.mesh)
+            if load_training_state:
+                self.state.opt_state = replicate(
+                    restored["opt_state"], self.mesh
+                )
+                self.state.rng = jax.random.wrap_key_data(
+                    jnp.asarray(restored["rng"])
+                )
+        else:
+            target = host(self.state.params)
+            restored = ckptr.restore(path, target=target)
+            self.state.params = replicate(restored, self.mesh)
+
+        if load_training_state and meta:
+            self.state.step = int(meta.get("step", 0))
+            self.state.epoch = int(meta.get("epoch", 0))
+            self.best = meta.get("best")
+            plateau = getattr(self, "plateau", None)
+            if plateau is not None and meta.get("plateau"):
+                p = meta["plateau"]
+                plateau.best, plateau.bad, plateau.scale = (
+                    p["best"], p["bad"], p["scale"]
+                )
+            # same shuffles as the uninterrupted run from the next epoch
+            if hasattr(self.dm, "set_sampler_epoch"):
+                self.dm.set_sampler_epoch(self.state.epoch + 1)
         return self.state.params
