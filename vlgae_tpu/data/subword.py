@@ -60,19 +60,33 @@ class HFTokenizer:
         return out
 
 
-def attach_subwords(dm, tokenizer, max_subwords: int = 512):
-    """Precompute subword fields on every dataset instance."""
+def attach_subwords(dm, tokenizer, max_subwords: int = 0):
+    """Precompute subword fields on every dataset instance.
+
+    ``max_subwords=0`` (default) keeps the full subword sequence —
+    sequences longer than the encoder's position limit are handled by
+    the stride-window path in :class:`TransformerItem`, never by
+    pre-truncation (the reference also windows instead of truncating,
+    ref: transformers_embedding.py:143-150). Pass a positive value only
+    to hard-cap pathological inputs.
+    """
     for ds in dm.datasets.values():
         for inst in ds:
             pieces = tokenizer(inst["word"])
             flat = [tokenizer.cls_id]
-            first = []
+            first, last = [], []
             for p in pieces:
                 first.append(len(flat))
                 flat.extend(p)
+                last.append(len(flat) - 1)
             flat.append(tokenizer.sep_id)
-            inst["subword_ids"] = flat[:max_subwords]
-            inst["subword_first"] = [min(i, max_subwords - 1) for i in first]
+            if max_subwords:
+                flat = flat[:max_subwords]
+                first = [min(i, max_subwords - 1) for i in first]
+                last = [min(i, max_subwords - 1) for i in last]
+            inst["subword_ids"] = flat
+            inst["subword_first"] = first
+            inst["subword_last"] = last
 
     orig_collate = dm.collate
 
@@ -84,15 +98,19 @@ def attach_subwords(dm, tokenizer, max_subwords: int = 512):
         sub = np.zeros((B, S), np.int32)
         sub_mask = np.zeros((B, S), bool)
         sub_first = np.zeros((B, pad_len), np.int32)
+        sub_last = np.zeros((B, pad_len), np.int32)
         for b, inst in enumerate(insts):
             ids = inst["subword_ids"]
             sub[b, : len(ids)] = ids
             sub_mask[b, : len(ids)] = True
             ff = inst["subword_first"][:pad_len]
             sub_first[b, : len(ff)] = ff
+            ll = inst["subword_last"][:pad_len]
+            sub_last[b, : len(ll)] = ll
         x["subword"] = sub
         x["subword_mask"] = sub_mask
         x["subword_first"] = sub_first
+        x["subword_last"] = sub_last
         return x, y
 
     dm.collate = collate

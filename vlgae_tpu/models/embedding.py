@@ -49,7 +49,9 @@ class EmbeddingItemCfg:
     n_layers: int = 1
     n_out: int = 0
     requires_grad: bool = False
-    pooling: str = "first"  # first | last | mean
+    pooling: str = "mean"  # first | last | mean (ref default: 'mean')
+    stride: int = 256  # window stride for long inputs (ref: stride=256)
+    layer_dropout: float = 0.0  # ScalarMix layer dropout (ref: dropout)
     # char-only (kind == 'char')
     char_dim: int = 50
     kernel_sizes: Tuple[int, ...] = (1, 3, 5)
@@ -151,20 +153,24 @@ class TransformerItem(fnn.Module):
       - ``subword``:        [B, S] subword ids
       - ``subword_mask``:   [B, S] bool
       - ``subword_first``:  [B, L] index of each word's first subword
+      - ``subword_last``:   [B, L] index of each word's last subword
     (ref: transformers_embedding.py:56-168).
 
     Sequences longer than the encoder's position limit are encoded in
-    overlapping stride windows and stitched back together (keeping each
-    window's center region), mirroring the reference's stride-windowed
-    long-input path (ref: transformers_embedding.py:143-150).
+    stride windows exactly like the reference: window 0 contributes all
+    ``max_len`` positions, each further window (advanced by ``stride``)
+    contributes its last ``stride`` positions
+    (ref: transformers_embedding.py:143-150). Pooling over each word's
+    subword span supports first/last/mean
+    (ref: transformers_embedding.py:157-166).
     """
 
     cfg: EmbeddingItemCfg
     bert_config: Any = None  # transformers BertConfig
 
     @fnn.compact
-    def __call__(self, subword, subword_mask, subword_first, *,
-                 deterministic: bool = True):
+    def __call__(self, subword, subword_mask, subword_first,
+                 subword_last=None, *, deterministic: bool = True):
         from transformers.models.bert.modeling_flax_bert import FlaxBertModule
 
         cfg = self.cfg
@@ -186,15 +192,24 @@ class TransformerItem(fnn.Module):
             )
             return out.hidden_states[-cfg.n_layers:]
 
+        def mix(layers):
+            if cfg.n_layers > 1:
+                return ScalarMix(
+                    n_layers=cfg.n_layers, dropout=cfg.layer_dropout,
+                    name="scalar_mix",
+                )(list(layers), deterministic=deterministic)
+            return layers[-1]
+
         B, S = subword.shape
         max_len = int(self.bert_config.max_position_embeddings)
         if S <= max_len:
-            layers = encode(subword, subword_mask)
+            h = mix(encode(subword, subword_mask))
         else:
-            # overlapping windows: stride = max_len // 2; keep the
-            # first half of window 0 and the second half of each window
-            # thereafter (static shapes; S and max_len are trace-time)
-            stride = max_len // 2
+            # reference stride-window scheme: window k starts at
+            # k*stride; window 0 keeps [0, max_len), window k>0 keeps
+            # its last (max_len - (max_len - stride)) = stride
+            # positions (static shapes; S and max_len are trace-time)
+            stride = min(int(cfg.stride) or max_len // 2, max_len)
             n_win = -(-(S - max_len) // stride) + 1
             pad_to = max_len + (n_win - 1) * stride
             ids = jnp.pad(subword, ((0, 0), (0, pad_to - S)))
@@ -207,31 +222,35 @@ class TransformerItem(fnn.Module):
                 [msk[:, k * stride: k * stride + max_len]
                  for k in range(n_win)], 1,
             ).reshape(B * n_win, max_len)
-            win_layers = encode(win_ids, win_msk)
-            half = stride // 2
-            layers = []
-            for wl in win_layers:
-                wl = wl.reshape(B, n_win, max_len, -1)
-                # window 0 contributes [0, stride+half); middle windows
-                # their centered [half, half+stride); the last window
-                # [half, max_len) -- contiguous cover of [0, pad_to)
-                parts = [wl[:, 0, : stride + half]]
-                for k in range(1, n_win - 1):
-                    parts.append(wl[:, k, half: half + stride])
-                parts.append(wl[:, n_win - 1, half:])
-                layers.append(jnp.concatenate(parts, axis=1)[:, :S])
-        if cfg.n_layers > 1:
-            h = ScalarMix(n_layers=cfg.n_layers)(
-                list(layers), deterministic=deterministic
-            )
-        else:
-            h = layers[-1]
+            hw = mix(encode(win_ids, win_msk)).reshape(B, n_win, max_len, -1)
+            parts = [hw[:, 0]]
+            for k in range(1, n_win):
+                parts.append(hw[:, k, max_len - stride:])
+            h = jnp.concatenate(parts, axis=1)[:, :S]
         if not cfg.requires_grad:
             h = jax.lax.stop_gradient(h)
-        # pool subwords -> words (first-subword pooling by default)
-        h_words = jnp.take_along_axis(
-            h, subword_first[..., None].astype(jnp.int32), axis=1
-        )
+
+        # pool each word's subword span [first, last] -> word vector
+        # (ref: transformers_embedding.py:157-166)
+        first = subword_first.astype(jnp.int32)
+        last = (first if subword_last is None
+                else subword_last.astype(jnp.int32))
+        if cfg.pooling == "first":
+            h_words = jnp.take_along_axis(h, first[..., None], axis=1)
+        elif cfg.pooling == "last":
+            h_words = jnp.take_along_axis(h, last[..., None], axis=1)
+        elif cfg.pooling == "mean":
+            csum = jnp.concatenate(
+                [jnp.zeros_like(h[:, :1]), jnp.cumsum(h, axis=1)], axis=1
+            )
+            tot = (
+                jnp.take_along_axis(csum, (last + 1)[..., None], axis=1)
+                - jnp.take_along_axis(csum, first[..., None], axis=1)
+            )
+            n_sub = jnp.maximum(last - first + 1, 1).astype(h.dtype)
+            h_words = tot / n_sub[..., None]
+        else:
+            raise ValueError(f"unknown pooling: {cfg.pooling!r}")
         if cfg.n_out:
             h_words = fnn.Dense(cfg.n_out, name="projection")(h_words)
         return h_words, None
@@ -280,7 +299,9 @@ class CompositeEmbedding(fnn.Module):
             if cfg.kind == "transformer":
                 h, kl = mod(
                     inputs["subword"], inputs["subword_mask"],
-                    inputs["subword_first"], deterministic=deterministic,
+                    inputs["subword_first"],
+                    inputs.get("subword_last"),
+                    deterministic=deterministic,
                 )
             else:
                 h, kl = mod(inputs[cfg.field], deterministic=deterministic)

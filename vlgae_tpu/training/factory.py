@@ -80,6 +80,9 @@ def build_embedding(emb_cfg: Dict[str, Any], dm) -> CompositeEmbedding:
             n_out=int(args.get("n_out", 0) or 0),
             requires_grad=bool(args.get("requires_grad", False)),
             model=model_name,
+            pooling=str(args.get("pooling", "mean")),
+            stride=int(args.get("stride", 256)),
+            layer_dropout=float(args.get("dropout", 0.0) or 0.0),
         ))
     return CompositeEmbedding(
         items=tuple(items),
