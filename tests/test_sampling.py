@@ -87,3 +87,42 @@ def test_sparsemax_dp_runs():
 
     v, _ = deptree_inside(arc, lengths, SparseMaxSemiring)
     assert np.isfinite(float(SparseMaxSemiring.unconvert(v)[0]))
+
+
+def test_multi_sample_costs_one_inside_pass():
+    """16 packed samples must cost ~one inside pass, not 16
+    (ref: sample.py:102-160 bit packing)."""
+    rng = np.random.default_rng(3)
+    n = 30
+    arc = jnp.asarray(rng.standard_normal((2, n + 1, n + 1)))
+    lengths = jnp.asarray(np.array([n, n]))
+    dist = DependencyCRF(arc, lengths)
+
+    def flops(k):
+        fn = jax.jit(lambda key: dist.sample(key, num_samples=k))
+        compiled = fn.lower(jax.random.key(0)).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+
+    f1, f16 = flops(1), flops(16)
+    if f1 > 0:  # cost model available on this backend
+        # shared inside pass: far below 16 separate passes; the
+        # remaining k-term is the O(k*n) per-cell mass routing
+        assert f16 < 6.0 * f1, (f1, f16)
+        assert f16 < 0.4 * 16 * f1, (f1, f16)
+
+
+def test_multi_sample_chunks_are_independent():
+    """Samples beyond 16 come from fresh packed passes with fresh keys."""
+    rng = np.random.default_rng(4)
+    n = 4
+    arc = jnp.asarray(rng.standard_normal((1, n + 1, n + 1)))
+    lengths = jnp.asarray(np.array([n]))
+    dist = DependencyCRF(arc, lengths)
+    s = np.asarray(dist.sample(jax.random.key(5), num_samples=24))
+    assert s.shape[0] == 24
+    # not all identical across the chunk boundary
+    assert not np.allclose(s[:16].mean(0), s[16:].mean(0), atol=1e-12) \
+        or not np.allclose(s[0], s[16])

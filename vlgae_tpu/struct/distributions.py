@@ -183,19 +183,18 @@ class DMV1o:
     # -- sampling ------------------------------------------------------------
     def sample(self, key, num_samples: int = 1):
         """Exact FFBS samples: attach indicators ``[k, B, N1, N1, 2]``
-        (ref: distributions.py:195-217)."""
-        from .sample import SampledSemiring
+        (ref: distributions.py:195-217).
 
-        def one(k):
-            S = SampledSemiring(k)
+        Bit-packed multi-sampling (ref: sample.py:102-160): every chunk
+        of up to 16 samples costs ONE inside pass + ONE backward — the
+        packed cotangent routes 16 independent sample masses at once."""
+        from .sample import multi_sample_grads
 
-            def total(a):
-                v, _ = _dmv.dmv_inside(self.dec, a, self.lengths, S)
-                return jnp.sum(S.unconvert(v))
+        def total(a, S):
+            v, _ = _dmv.dmv_inside(self.dec, a, self.lengths, S)
+            return S.unconvert(v)
 
-            return jax.grad(total)(self.attach)
-
-        return jax.vmap(one)(jax.random.split(key, num_samples))
+        return multi_sample_grads(total, self.attach, key, num_samples)
 
     def gumbel_crf(self, key, temperature: float = 1.0):
         """Straight-through Gumbel relaxed sample
@@ -309,19 +308,16 @@ class DependencyCRF:
         return jnp.argmax(self.argmax[:, :, 1:], axis=1)
 
     def sample(self, key, num_samples: int = 1):
-        """Exact FFBS tree samples: arc indicators ``[k, B, N1, N1]``."""
-        from .sample import SampledSemiring
+        """Exact FFBS tree samples: arc indicators ``[k, B, N1, N1]``.
+        One inside pass + one packed backward per 16 samples
+        (ref: sample.py:102-160)."""
+        from .sample import multi_sample_grads
 
-        def one(k):
-            S = SampledSemiring(k)
+        def total(a, S):
+            v, _ = _deptree.deptree_inside(a, self.lengths, S)
+            return S.unconvert(v)
 
-            def total(a):
-                v, _ = _deptree.deptree_inside(a, self.lengths, S)
-                return jnp.sum(S.unconvert(v))
-
-            return jax.grad(total)(self.arc)
-
-        return jax.vmap(one)(jax.random.split(key, num_samples))
+        return multi_sample_grads(total, self.arc, key, num_samples)
 
     def gumbel_crf(self, key, temperature: float = 1.0):
         from .sample import GumbelCRFSemiring

@@ -95,6 +95,96 @@ def SampledSemiring(key):
     return _Sampled
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _multi_sampled_logsumexp(x, key, axis, k):
+    return jax.nn.logsumexp(x, axis=axis)
+
+
+def _multi_fwd(x, key, axis, k):
+    return jax.nn.logsumexp(x, axis=axis), (x, key)
+
+
+def _multi_bwd(axis, k, res, g):
+    """Route k bit-packed sample masses (ref: sample.py:102-141).
+
+    The cotangent ``g`` carries an integer bitmask per cell (sample i
+    passes through the cell iff bit i is set; exactly representable in
+    f32 for k <= 16). Each set bit draws an independent categorical
+    child and forwards its bit there — so ONE backward pass yields k
+    forward-filter backward-samples.
+    """
+    x, key = res
+    moved = jnp.moveaxis(x, axis, -1)  # [..., n]
+    n = moved.shape[-1]
+    # inverse-CDF draws: ONE softmax/cumsum per cell + k cheap uniforms
+    # (k gumbel fields per cell would cost ~k inside passes in RNG bits)
+    cdf = jnp.cumsum(jax.nn.softmax(moved, axis=-1), axis=-1)
+    u = jax.random.uniform(
+        key, (k,) + moved.shape[:-1], dtype=x.dtype
+    )  # [k, ...]
+    idx = jnp.sum(
+        u[..., None] > cdf[None], axis=-1
+    ).clip(0, n - 1)  # [k, ...]
+    onehot = (
+        jnp.arange(n, dtype=idx.dtype) == idx[..., None]
+    )  # [k, ..., n] bool
+    gi = jnp.round(g).astype(jnp.uint32)
+    shifts = jnp.arange(k, dtype=jnp.uint32).reshape((k,) + (1,) * g.ndim)
+    gbits = (gi[None] >> shifts) & jnp.uint32(1)  # [k, ...]
+    weights = gbits.astype(x.dtype) * (2.0 ** np.arange(k)).reshape(
+        (k,) + (1,) * g.ndim
+    ).astype(x.dtype)
+    out = jnp.where(onehot, weights[..., None], 0.0).sum(0)  # [..., n]
+    return jnp.moveaxis(out, -1, axis), _key_ct(key)
+
+
+_multi_sampled_logsumexp.defvjp(_multi_fwd, _multi_bwd)
+
+
+def MultiSampledSemiring(key, k: int = 16):
+    """k samples per single backward via bit packing
+    (ref: sample.py:102-160). k <= 16 keeps the packed mass exactly
+    representable in float32 (< 2^24)."""
+    assert 1 <= k <= 16, "bit packing supports at most 16 samples"
+    counter = itertools.count()
+
+    class _Multi(_BaseLog):
+        @classmethod
+        def sum(cls, xs, axis=-1):
+            site = next(counter)
+            kk = jax.random.fold_in(key, site)
+            return _multi_sampled_logsumexp(xs, kk, _stack_axis(axis), k)
+
+    return _Multi
+
+
+def multi_sample_grads(inside_total_fn, potentials, key, num_samples: int):
+    """k exact FFBS samples for ~ceil(k/16) inside passes.
+
+    ``inside_total_fn(potentials, semiring) -> [B] totals``. Returns
+    sample indicator tensors ``[num_samples, *potentials.shape]``:
+    one vjp with a bit-packed cotangent per chunk of 16 samples.
+    """
+    chunks = []
+    left = num_samples
+    i = 0
+    while left > 0:
+        k = min(16, left)
+        S = MultiSampledSemiring(jax.random.fold_in(key, i), k)
+        val, vjp = jax.vjp(lambda p: inside_total_fn(p, S), potentials)
+        (packed,) = vjp(jnp.full(val.shape, float(2 ** k - 1), val.dtype))
+        gi = jnp.round(packed).astype(jnp.uint32)
+        shifts = jnp.arange(k, dtype=jnp.uint32).reshape(
+            (k,) + (1,) * packed.ndim
+        )
+        chunks.append(((gi[None] >> shifts) & jnp.uint32(1)).astype(
+            jnp.float32
+        ))
+        left -= k
+        i += 1
+    return jnp.concatenate(chunks, axis=0)
+
+
 def GumbelCRFSemiring(key, temp: float = 1.0):
     """Straight-through Gumbel-CRF semiring (ref: sample.py:50-99)."""
     counter = itertools.count()
