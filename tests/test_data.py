@@ -166,3 +166,55 @@ def test_char_field(corpus):
     # padding words embed to exactly zero
     for b in range(B):
         assert np.all(h[b, x["seq_len"][b]:] == 0.0)
+
+
+def test_no_create_entry_words_tie_to_unk(tmp_path):
+    """Dev/test-only words without pretrained vectors share the unk row
+    and never train private vectors (fastNLP StaticEmbedding semantics,
+    ref: datamodule.py:179-224)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlgae_tpu.data.vocab import Vocabulary
+    from vlgae_tpu.models.embedding import (
+        EmbeddingItemCfg,
+        StaticItem,
+        glove_row_map,
+        load_glove,
+    )
+
+    v = Vocabulary()
+    v.update(["dog", "cat"])                      # train words
+    v.update(["zebra", "dog", "yak"], no_create_entry=True)  # dev-only
+    v.build()
+    glove = tmp_path / "glove.txt"
+    dim = 3
+    glove.write_text(
+        "dog 1 0 0\ncat 0 1 0\nzebra 0 0 1\n"
+    )
+    table, found = load_glove(str(glove), v, dim)
+    assert found == {"dog", "cat", "zebra"}
+    rm = glove_row_map(v, found)
+    # zebra: no-create but found -> own row; yak: no-create, missing -> unk
+    assert rm[v["zebra"]] == v["zebra"]
+    assert rm[v["yak"]] == v.unk_index
+    assert rm[v["dog"]] == v["dog"]
+
+    item = StaticItem(
+        EmbeddingItemCfg("w", "word", "static", n_vocab=len(v),
+                         embedding_dim=dim),
+        pretrained=table, row_map=rm,
+    )
+    ids = jnp.asarray([[v["yak"], v.unk_index, v["dog"]]])
+    params = item.init(jax.random.key(0), ids)
+    h, _ = item.apply(params, ids)
+    # yak's embedding IS the unk embedding
+    np.testing.assert_array_equal(np.asarray(h)[0, 0], np.asarray(h)[0, 1])
+    # and yak's grad accumulates into the unk row, not a private row
+    def loss(p):
+        out, _ = item.apply(p, jnp.asarray([[v["yak"]]]))
+        return jnp.sum(out)
+
+    g = jax.grad(loss)(params)["params"]["embedding"]
+    assert np.abs(np.asarray(g)[v.unk_index]).sum() > 0
+    assert np.abs(np.asarray(g)[v["yak"]]).sum() == 0

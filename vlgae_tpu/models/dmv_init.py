@@ -168,37 +168,46 @@ def good_init(token_seqs, head_seqs, n_token: int, smooth: float):
 def generate_rule_1o(heads):
     """Rule-count targets used by init_method='y' (ref: good_init_nn.py:41-78).
 
+    Vectorized derivation of the same counts: per-head outermost
+    dependents define GO valences; each token's own outermost flags
+    define its STOP valences. Output matches the reference's counting
+    routine bit-for-bit, including its root-row quirk — a root-headed
+    child reads/writes row ``-1`` (the last token's row), which numpy's
+    negative indexing reproduces exactly.
+
     Returns dict(dec_rule [n,2,2,2], attach_rule [n,n,2], root_rule [n]).
     """
-    n = len(heads)
+    heads = np.asarray(heads, np.int64)
+    n = heads.shape[0]
+    child = np.arange(n)
+    head = heads - 1  # -1 = attached to root
+    real = head >= 0
+    is_left = child < head  # root-headed children fall to RIGHT
+
     decision = np.zeros((n, 2, 2, 2))
     attach = np.zeros((n, n, 2))
     root = np.zeros((n,))
-    root[heads.index(0)] = 1
+    root[int(np.argmax(~real))] = 1
 
-    left_most = list(range(n))
-    right_most = list(range(n))
-    for child, head in enumerate(heads):
-        head -= 1
-        if head == -1:
-            continue
-        if child < head:
-            left_most[head] = min(left_most[head], child)
-        else:
-            right_most[head] = max(right_most[head], child)
+    # outermost dependent on each side of every head
+    left_most = np.arange(n)
+    right_most = np.arange(n)
+    lm_sel = real & is_left
+    rm_sel = real & ~is_left
+    np.minimum.at(left_most, head[lm_sel], child[lm_sel])
+    np.maximum.at(right_most, head[rm_sel], child[rm_sel])
 
-    for child, head in enumerate(heads):
-        head -= 1
-        if child < head:
-            most, d = left_most, LEFT
-        else:
-            most, d = right_most, RIGHT
-        valence = NOCHILD if most[head] == child else HASCHILD
-        decision[head][d][valence][GO] += 1
-        if head != -1:
-            attach[head][child][valence] += 1
-        valence = NOCHILD if left_most[child] == child else HASCHILD
-        decision[child][LEFT][valence][STOP] += 1
-        valence = NOCHILD if right_most[child] == child else HASCHILD
-        decision[child][RIGHT][valence][STOP] += 1
+    # GO decisions + attachments: valence NOCHILD iff the child is the
+    # head's outermost dependent on that side
+    most = np.where(is_left, left_most[head], right_most[head])
+    val_go = np.where(most == child, NOCHILD, HASCHILD)
+    d = np.where(is_left, LEFT, RIGHT)
+    np.add.at(decision, (head, d, val_go, GO), 1.0)
+    attach[head[real], child[real], val_go[real]] += 1.0
+
+    # STOP decisions of every token, per side
+    val_l = np.where(left_most == child, NOCHILD, HASCHILD)
+    val_r = np.where(right_most == child, NOCHILD, HASCHILD)
+    decision[child, LEFT, val_l, STOP] += 1.0
+    decision[child, RIGHT, val_r, STOP] += 1.0
     return {"dec_rule": decision, "attach_rule": attach, "root_rule": root}

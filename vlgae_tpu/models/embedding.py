@@ -67,10 +67,16 @@ class EmbeddingItemCfg:
 
 
 class StaticItem(fnn.Module):
-    """Lookup table, optionally with a variational (VAE/IB) head."""
+    """Lookup table, optionally with a variational (VAE/IB) head.
+
+    ``row_map`` remaps lookup ids before the table take: dev/test-only
+    (no-create-entry) words without pretrained vectors share the unk row
+    so they never train private vectors (fastNLP StaticEmbedding
+    semantics; ref: datamodule.py:179-224)."""
 
     cfg: EmbeddingItemCfg
     pretrained: Optional[np.ndarray] = None
+    row_map: Optional[Tuple[int, ...]] = None
 
     @fnn.compact
     def __call__(self, ids, *, deterministic: bool = True):
@@ -82,6 +88,10 @@ class StaticItem(fnn.Module):
         table = self.param(
             "embedding", init, (cfg.n_vocab, cfg.embedding_dim)
         )
+        if self.row_map is not None:
+            ids = jnp.take(
+                jnp.asarray(np.asarray(self.row_map, np.int32)), ids, axis=0
+            )
         h = jnp.take(table, ids, axis=0)
         if cfg.mode == "basic":
             return h, None
@@ -263,6 +273,7 @@ class CompositeEmbedding(fnn.Module):
     items: Tuple[EmbeddingItemCfg, ...]
     dropout: float = 0.0
     pretrained: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    row_maps: Dict[str, tuple] = dataclasses.field(default_factory=dict)
     bert_config: Any = None
 
     def setup(self):
@@ -277,6 +288,7 @@ class CompositeEmbedding(fnn.Module):
             else:
                 mods[cfg.name] = StaticItem(
                     cfg, pretrained=self.pretrained.get(cfg.name),
+                    row_map=self.row_maps.get(cfg.name),
                     name=cfg.name,
                 )
         self._mods = mods
@@ -326,11 +338,17 @@ def load_glove(path, vocab, dim: int, lower: bool = True):
 
     Counterpart of fastNLP's StaticEmbedding pretrained loading used by
     the reference (ref: config/model/embedding/en.yaml glove100).
+
+    Returns ``(table, found)`` where ``found`` is the set of vocab words
+    found in the vectors file — used to tie no-create-entry words
+    (dev/test-only) that lack pretrained vectors to the unk row, so they
+    don't get private trainable vectors (fastNLP StaticEmbedding
+    semantics, ref: datamodule.py:179-224).
     """
     table = np.random.default_rng(0).normal(
         0, 1, (len(vocab), dim)
     ).astype(np.float32)
-    found = 0
+    found = set()
     with open(path, encoding="utf-8") as f:
         for line in f:
             parts = line.rstrip().split(" ")
@@ -339,9 +357,19 @@ def load_glove(path, vocab, dim: int, lower: bool = True):
             w = parts[0].lower() if lower else parts[0]
             if w in vocab:
                 table[vocab[w]] = np.asarray(parts[1:], np.float32)
-                found += 1
+                found.add(w)
     table[vocab.pad_index] = 0.0
     return table, found
+
+
+def glove_row_map(vocab, found) -> tuple:
+    """Index remap tying dev/test-only words without pretrained vectors
+    to the unk row (fastNLP ``words_to_words``)."""
+    unk = vocab.unk_index
+    return tuple(
+        unk if (vocab.is_no_create(w) and w not in found) else i
+        for i, w in enumerate(vocab.idx2word)
+    )
 
 
 def normalize_embedding_params(params, path: Tuple[str, ...],

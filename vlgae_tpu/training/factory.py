@@ -23,7 +23,7 @@ from ..models import (
     RNNEncoder,
     VisBoxRelSimpleEncoder,
 )
-from ..models.embedding import EmbeddingItemCfg, load_glove
+from ..models.embedding import EmbeddingItemCfg, glove_row_map, load_glove
 from ..models.joint import ATTR_POS, OBJ_POS, REL_POS
 from ..models.ldndmv import FUNCTION_POS
 
@@ -32,6 +32,7 @@ def build_embedding(emb_cfg: Dict[str, Any], dm) -> CompositeEmbedding:
     """(ref: src/model/embedding/embedding.py:53-101)"""
     items = []
     pretrained = {}
+    row_maps = {}
     use_word = emb_cfg.get("use_word", True)
     use_tag = emb_cfg.get("use_tag", True)
     use_subword = emb_cfg.get("use_subword", False)
@@ -55,8 +56,13 @@ def build_embedding(emb_cfg: Dict[str, Any], dm) -> CompositeEmbedding:
             import os
 
             if os.path.exists(glove_path):
-                table, _ = load_glove(glove_path, dm.vocabs["word"], dim)
+                table, found = load_glove(glove_path, dm.vocabs["word"], dim)
                 pretrained["word_embedding"] = table
+                # dev/test-only words without pretrained vectors share
+                # the unk row (fastNLP StaticEmbedding semantics)
+                row_maps["word_embedding"] = glove_row_map(
+                    dm.vocabs["word"], found
+                )
     if use_tag and "tag" in dm.vocabs:
         tcfg = emb_cfg.get("tag_embedding", {}) or {}
         args = tcfg.get("args", {}) or {}
@@ -88,6 +94,7 @@ def build_embedding(emb_cfg: Dict[str, Any], dm) -> CompositeEmbedding:
         items=tuple(items),
         dropout=float(emb_cfg.get("dropout", 0.0) or 0.0),
         pretrained=pretrained,
+        row_maps=row_maps,
         bert_config=bert_config,
     )
 
