@@ -93,7 +93,37 @@ def bench_tpu():
         return lambda: many(dec, attach, lengths, noise)
 
     dt = diff_time(make_many, 128)
-    return BATCH / dt
+    return BATCH / dt, dt
+
+
+def logaddexp_roofline():
+    """Measured elementwise logaddexp throughput on this chip — the
+    honest roofline for the chart DP (it is VPU/transcendental-bound,
+    not MXU-bound). Returns FLOP/s at the same 6-flops-per-logaddexp
+    convention as the kernels' CostEstimate."""
+    import jax
+    import jax.numpy as jnp
+
+    M = 1 << 20  # 1M elements
+    CHAIN = 16  # chained ops per element per step: compute-bound, not HBM
+    a = jnp.linspace(-1.0, 1.0, M).reshape(1 << 10, 1 << 10)
+    cs = [jnp.float32(0.01 * (k + 1)) for k in range(CHAIN)]
+
+    def make_many(iters):
+        @jax.jit
+        def many(a):
+            def body(acc, _):
+                for c in cs:
+                    acc = jnp.logaddexp(acc, acc * 0.5 + c)
+                return acc - jnp.float32(CHAIN * 0.7), None
+
+            acc, _ = jax.lax.scan(body, a, None, length=iters)
+            return jnp.sum(acc[::64, ::64])
+
+        return lambda: many(a)
+
+    dt = diff_time(make_many, 64)
+    return 6.0 * CHAIN * M / dt
 
 
 def bench_cpu_reference():
@@ -303,7 +333,7 @@ def bench_train_step(B=64, L=10, P=36, iters=64):
 
 def main():
     cpu_sps = bench_cpu_reference()
-    tpu_sps = bench_tpu()
+    tpu_sps, tpu_dt = bench_tpu()
     try:
         train_sps = bench_train_step()
     except Exception:
@@ -312,6 +342,16 @@ def main():
         stretch_sps = bench_stretch()
     except Exception:
         stretch_sps = 0.0
+    try:
+        roofline = logaddexp_roofline()
+    except Exception:
+        roofline = 0.0
+    # modeled FLOPs of one inside-outside at len30/b256 (the kernels'
+    # CostEstimate: 12*n1^3*B forward + 24*n1^3*B backward, counting a
+    # logaddexp accumulation as 6 flops)
+    n1 = LEN + 1
+    flops_io = 36 * n1 ** 3 * BATCH
+    achieved = flops_io / tpu_dt
     result = {
         "metric": "dmv_inside_outside_len30_b256_sentences_per_sec",
         "value": round(tpu_sps, 1),
@@ -320,6 +360,13 @@ def main():
         "cpu_reference_sentences_per_sec": round(cpu_sps, 1),
         "stretch_len64_b1024_sentences_per_sec": round(stretch_sps, 1),
         "joint_train_step_len10_b64_sentences_per_sec": round(train_sps, 1),
+        # perf observability: the DP is VPU/transcendental-bound, so the
+        # honest roofline is measured logaddexp throughput, not MXU MFU
+        "achieved_gflops": round(achieved / 1e9, 1),
+        "logaddexp_roofline_gflops": round(roofline / 1e9, 1),
+        "pct_of_logaddexp_roofline": round(
+            100 * achieved / roofline, 1
+        ) if roofline else 0.0,
     }
     print(json.dumps(result))
 

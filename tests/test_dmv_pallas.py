@@ -74,3 +74,35 @@ def test_pallas_cotangent_scaling(batch):
     ga = jax.grad(total_pallas)(mattach)
     wa = jax.grad(total_scan)(mattach)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(wa), rtol=1e-3, atol=1e-5)
+
+
+def test_pallas_v2_outside_matches_scan(batch):
+    """The gated pull-form (v2) outside kernel stays parity-tested even
+    though the push-form is the default (see USE_V2_OUTSIDE)."""
+    from vlgae_tpu.ops import dmv_pallas as dp
+
+    mdec, mattach, lengths = batch
+    old = dp.USE_V2_OUTSIDE
+    dp.USE_V2_OUTSIDE = True
+    try:
+        def total_pallas(d, a):
+            return jnp.sum(dmv_partition_pallas_interpret(d, a, lengths))
+
+        gd, ga = jax.grad(total_pallas, argnums=(0, 1))(mdec, mattach)
+        wd, wa = dmv_marginals(mdec, mattach, lengths, LogSemiring)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(wd),
+                                   rtol=1e-3, atol=1e-5)
+
+        def total_max(d, a):
+            return jnp.sum(dmv_max_pallas_interpret(d, a, lengths))
+
+        gd, ga = jax.grad(total_max, argnums=(0, 1))(mdec, mattach)
+        wd, wa = dmv_marginals(mdec, mattach, lengths, MaxSemiring)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(wd),
+                                   rtol=1e-3, atol=1e-5)
+    finally:
+        dp.USE_V2_OUTSIDE = old

@@ -54,16 +54,10 @@ def _round8(x):
 
 
 def backward_fits_vmem(n1: int) -> bool:
-    """Whether the outside kernel's buffers fit VMEM at the 128-lane tile.
-
-    v5e has 128 MiB of VMEM; we allow up to ~90 MiB for the 12
-    chart-sized buffers (4 saved inside charts + 4 outside scratch +
-    2 attach inputs + 2 grad outputs). Verified on hardware at n1 = 65
-    (sentence length 64).
-    """
-    n1r = _round8(n1)
-    chart = n1 * 2 * n1r * BT * 4
-    return 12 * chart <= 90 * 1024 * 1024
+    """Whether the outside kernel's buffers fit VMEM at some launch
+    size (column-padded layout; see :func:`_outside_max_launch`).
+    Verified on hardware at n1 = 65 (sentence length 64)."""
+    return _outside_max_launch(n1) > 0
 
 
 def forward_fits_vmem(n1: int) -> bool:
@@ -318,11 +312,11 @@ def _inside_kernel_save(n1, n1r, is_max,
 # ---------------------------------------------------------------------------
 
 
-def _outside_kernel(n1, n1r, is_max,
+def _outside_kernel(n1, n1r, cp, is_max,
                     attL_ref, attR_ref, len_ref,
                     gout_ref, logz_ref, Cr, Cl, Ir, Il,
                     gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
-                    OCr, OCl, OIr, OIl, padA, padB, padC):
+                    OCr, OCl, OIr, OIl):
     """Outside pass over saved inside charts, walking widths downward.
 
     Adjoints ``O*`` are log-domain outside scores. For the log semiring
@@ -332,19 +326,24 @@ def _outside_kernel(n1, n1r, is_max,
     final gradients. The inside charts (``Cr/Cl/Ir/Il``) are read-only
     inputs saved by the forward, so the backward does not recompute the
     inside pass.
+
+    Layout: the saved charts arrive COLUMN-PADDED to ``cp`` columns
+    (positions; NEGINF beyond ``n1r``), and the adjoints are kept in the
+    same padded layout — so every diagonal-shifted read/accumulate of
+    the reference's stripe trick is a direct dynamic-slice (read or RMW)
+    with no staging pads. Shifted accumulations may land in the padding
+    region; those cells are never read (they correspond to masked
+    positions, as in the old drop-beyond-n1r semantics).
     """
 
     def plus(a, b):
         return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
 
-    padA[:, :, :] = jnp.full(padA.shape, NEGINF, jnp.float32)
-    padB[:, :, :] = jnp.full(padB.shape, NEGINF, jnp.float32)
-    neg_all = jnp.full((n1, 2, n1r, BT), NEGINF, jnp.float32)
+    neg_all = jnp.full((n1, 2, cp, BT), NEGINF, jnp.float32)
     OCr[:, :, :, :] = neg_all
     OCl[:, :, :, :] = neg_all
     OIr[:, :, :, :] = neg_all
     OIl[:, :, :, :] = neg_all
-    padC[:, :, :] = jnp.full(padC.shape, NEGINF, jnp.float32)
 
     lengths = len_ref[0, :]
     logz = logz_ref[0, :]  # [BT] total (log partition or max score)
@@ -366,7 +365,7 @@ def _outside_kernel(n1, n1r, is_max,
         # -- final-cell init: O_Cr[length, 0, NC] = one --------------------
         at_final = (lengths[None, :] == w) & (i_iota == 0)
         sel_nc = lax.broadcasted_iota(jnp.int32, (2, n1r, BT), 0) == NOCHILD
-        ocr_w = OCr[w, :, :, :]
+        ocr_w = OCr[w, :, pl.ds(0, n1r), :]
         ocr_w = jnp.where(
             sel_nc & at_final[None], jnp.maximum(ocr_w, 0.0), ocr_w
         )
@@ -375,44 +374,47 @@ def _outside_kernel(n1, n1r, is_max,
         # propagate into its inputs.
         root_keep = (i_iota != 0) | (lengths[None, :] == w)
         ocr_w = jnp.where(root_keep[None], ocr_w, NEGINF)
-        OCr[w, :, :, :] = ocr_w
-        ocl_w = OCl[w, :, :, :]
+        OCr[w, :, pl.ds(0, n1r), :] = ocr_w
+        ocl_w = OCl[w, :, pl.ds(0, n1r), :]
 
         # ==== adjoints of the complete-span updates at width w ====
         # Cl[w,i,v] = sum_t Il[w-t,i+t,v] * Cl[t,i,NC]
         # Cr[w,i,v] = sum_t Ir[t+1,i,v] * Cr[w-1-t,i+1+t,NC]
         def t_body2(t, _):
-            il_wt = _shift_read(padA, Il, w - t, t, n1r)
-            cr_wt = _shift_read(padB, Cr, w - 1 - t, 1 + t, n1r)
-            cl_t = Cl[t, NOCHILD, :, :][None]
-            ir_t1 = Ir[t + 1, :, :, :]
+            il_wt = Il[w - t, :, pl.ds(t, n1r), :]
+            cr_wt_nc = Cr[w - 1 - t, NOCHILD, pl.ds(1 + t, n1r), :]
+            cl_t = Cl[t, NOCHILD, pl.ds(0, n1r), :][None]
+            ir_t1 = Ir[t + 1, :, pl.ds(0, n1r), :]
             # O_Il[w-t, i+t, v] ⊕= O_Cl[w,i,v] + Cl[t,i,NC]
-            _shift_accum(padC, OIl, w - t, t, ocl_w + cl_t, n1r, plus)
+            OIl[w - t, :, pl.ds(t, n1r), :] = plus(
+                OIl[w - t, :, pl.ds(t, n1r), :], ocl_w + cl_t
+            )
             # O_Cl[t, i, NC] ⊕= sum_v O_Cl[w,i,v] + Il[w-t,i+t,v]
             c2 = ocl_w + il_wt
             c2 = plus(c2[0], c2[1])
-            OCl[t, NOCHILD, :, :] = plus(OCl[t, NOCHILD, :, :], c2)
+            OCl[t, NOCHILD, pl.ds(0, n1r), :] = plus(
+                OCl[t, NOCHILD, pl.ds(0, n1r), :], c2
+            )
             # O_Ir[t+1, i, v] ⊕= O_Cr[w,i,v] + Cr[w-1-t,i+1+t,NC]
-            contrib = ocr_w + cr_wt[NOCHILD][None]
-            OIr[t + 1, :, :, :] = plus(OIr[t + 1, :, :, :], contrib)
+            OIr[t + 1, :, pl.ds(0, n1r), :] = plus(
+                OIr[t + 1, :, pl.ds(0, n1r), :], ocr_w + cr_wt_nc[None]
+            )
             # O_Cr[w-1-t, i+1+t, NC] ⊕= sum_v O_Cr[w,i,v] + Ir[t+1,i,v]
             c4 = ocr_w + ir_t1
             c4 = plus(c4[0], c4[1])
-            chans = [None, None]
-            chans[NOCHILD] = c4
-            chans[HASCHILD] = jnp.full_like(c4, NEGINF)
-            _shift_accum(padC, OCr, w - 1 - t, 1 + t, jnp.stack(chans),
-                         n1r, plus)
+            OCr[w - 1 - t, NOCHILD, pl.ds(1 + t, n1r), :] = plus(
+                OCr[w - 1 - t, NOCHILD, pl.ds(1 + t, n1r), :], c4
+            )
             return 0
 
         lax.fori_loop(0, w, t_body2, 0)
 
         # ==== adjoints of the incomplete-span updates at width w ====
         # Il[w,i,v] = inner_l[w,i] + attL[w,i,v]
-        oil_w = OIl[w, :, :, :]
-        oir_w = OIr[w, :, :, :]
-        il_w = Il[w, :, :, :]
-        ir_w = Ir[w, :, :, :]
+        oil_w = OIl[w, :, pl.ds(0, n1r), :]
+        oir_w = OIr[w, :, pl.ds(0, n1r), :]
+        il_w = Il[w, :, pl.ds(0, n1r), :]
+        ir_w = Ir[w, :, pl.ds(0, n1r), :]
         gattL_ref[w, :, :, :] = grad_of(il_w, oil_w)
         gattR_ref[w, :, :, :] = grad_of(ir_w, oir_w)
 
@@ -422,24 +424,27 @@ def _outside_kernel(n1, n1r, is_max,
         tmp_r = plus(tmp_r[0], tmp_r[1])
 
         def t_body3(t, _):
-            cl_pair = _shift_read(padA, Cl, w - 1 - t, 1 + t, n1r)
-            cr_nc = Cr[t, NOCHILD, :, :]
-            cr_hc = Cr[t, HASCHILD, :, :]
+            cl_pair = Cl[w - 1 - t, :, pl.ds(1 + t, n1r), :]
+            cr_nc = Cr[t, NOCHILD, pl.ds(0, n1r), :]
+            cr_hc = Cr[t, HASCHILD, pl.ds(0, n1r), :]
             # O_Cr[t, i, NC] ⊕= tmp_l + Cl[w-1-t,i+1+t,HC]
-            OCr[t, NOCHILD, :, :] = plus(
-                OCr[t, NOCHILD, :, :], tmp_l + cl_pair[HASCHILD]
+            OCr[t, NOCHILD, pl.ds(0, n1r), :] = plus(
+                OCr[t, NOCHILD, pl.ds(0, n1r), :],
+                tmp_l + cl_pair[HASCHILD],
             )
             # O_Cr[t, i, HC] ⊕= tmp_r + Cl[w-1-t,i+1+t,NC]
-            OCr[t, HASCHILD, :, :] = plus(
-                OCr[t, HASCHILD, :, :], tmp_r + cl_pair[NOCHILD]
+            OCr[t, HASCHILD, pl.ds(0, n1r), :] = plus(
+                OCr[t, HASCHILD, pl.ds(0, n1r), :],
+                tmp_r + cl_pair[NOCHILD],
             )
             # O_Cl[w-1-t, i+1+t, HC] ⊕= tmp_l + Cr[t,i,NC]
             # O_Cl[w-1-t, i+1+t, NC] ⊕= tmp_r + Cr[t,i,HC]
             chans = [None, None]
             chans[HASCHILD] = tmp_l + cr_nc
             chans[NOCHILD] = tmp_r + cr_hc
-            _shift_accum(padC, OCl, w - 1 - t, 1 + t, jnp.stack(chans),
-                         n1r, plus)
+            OCl[w - 1 - t, :, pl.ds(1 + t, n1r), :] = plus(
+                OCl[w - 1 - t, :, pl.ds(1 + t, n1r), :], jnp.stack(chans)
+            )
             return 0
 
         lax.fori_loop(0, w, t_body3, 0)
@@ -452,8 +457,10 @@ def _outside_kernel(n1, n1r, is_max,
     gattR_ref[0, :, :, :] = jnp.zeros((2, n1r, BT), jnp.float32)
 
     # seed (STOP decision) gradients at width 0
-    gseedR_ref[:] = grad_of(Cr[0, :, :, :], OCr[0, :, :, :])
-    gseedL_ref[:] = grad_of(Cl[0, :, :, :], OCl[0, :, :, :])
+    gseedR_ref[:] = grad_of(Cr[0, :, pl.ds(0, n1r), :],
+                            OCr[0, :, pl.ds(0, n1r), :])
+    gseedL_ref[:] = grad_of(Cl[0, :, pl.ds(0, n1r), :],
+                            OCl[0, :, pl.ds(0, n1r), :])
 
 
 # ---------------------------------------------------------------------------
@@ -539,14 +546,14 @@ def _specs(n1, n1r):
 _MAX_LAUNCH_B = 2 * BT
 
 
-def _chunked(call, n_out, *args):
+def _chunked(call, n_out, *args, chunk_b: int = _MAX_LAUNCH_B):
     """Split args along their (trailing) batch axis into launch chunks."""
     B = args[0].shape[-1]
     outs = []
-    for start in range(0, B, _MAX_LAUNCH_B):
+    for start in range(0, B, chunk_b):
         chunk = [
             jax.lax.slice_in_dim(
-                a, start, min(start + _MAX_LAUNCH_B, B), axis=a.ndim - 1
+                a, start, min(start + chunk_b, B), axis=a.ndim - 1
             )
             for a in args
         ]
@@ -562,15 +569,43 @@ def _chunked(call, n_out, *args):
 # split-point-loop (v1) fill.
 USE_V2_INSIDE = True
 
+_V2_BUDGET = 86 * 1024 * 1024
 
-def _v2_fits_vmem(n1: int) -> bool:
-    """v2 needs 3 flipped [2*n1, 2, ip, BT] buffers on top of the chart
-    blocks; gate against the ~90MB budget (v1 handles the rest)."""
+
+def _v2_vmem_bytes(n1: int, save: bool, grid: int) -> int:
+    """Per-launch VMEM estimate for the v2 inside kernel.
+
+    In/out blocks are double-buffered by the pipeline when grid > 1;
+    scratch buffers are not. The 3 flipped dual-layout buffers are
+    [2*n1, 2, ip, BT] scratch.
+    """
     n1r = _round8(n1)
     ip = _round8(n1 - 1 + n1r)
-    flipped = 3 * (2 * n1 * 2 * ip * BT * 4)
-    charts = 14 * (n1 * 2 * n1r * BT * 4)  # in/out blocks, double-buffered
-    return flipped + charts <= 88 * 1024 * 1024
+    chart = n1 * 2 * n1r * BT * 4
+    flips = 3 * (2 * n1) * 2 * ip * BT * 4
+    seeds_rows = 2 * (2 * n1r * BT * 4) + 2 * BT * 4
+    buf = 2 if grid > 1 else 1
+    blocks = 2 * chart + seeds_rows  # attL, attR in-blocks
+    if save:
+        # charts ARE out blocks (two have one extra row)
+        blocks += 4 * chart + 2 * (2 * n1r * BT * 4)
+        scratch = flips
+    else:
+        blocks += BT * 4  # out row
+        scratch = flips + 3 * chart + 2 * (2 * n1r * BT * 4)
+    return buf * blocks + scratch
+
+
+def _v2_max_launch(n1: int, save: bool) -> int:
+    """Largest per-launch batch (0 if v2 cannot fit): prefer the 2-tile
+    double-buffered launch; at big n1 fall back to grid=1 single-buffered
+    128-lane launches (the blocks stop double-buffering, freeing ~half
+    the block VMEM at the cost of pipelining)."""
+    if _v2_vmem_bytes(n1, save, grid=2) <= _V2_BUDGET:
+        return _MAX_LAUNCH_B
+    if _v2_vmem_bytes(n1, save, grid=1) <= _V2_BUDGET:
+        return BT
+    return 0
 
 
 def _pallas_inside_call_v2(attL, attR, seedR, seedL, lengths, *, is_max,
@@ -632,7 +667,10 @@ def _pallas_inside_call_v2(attL, attR, seedR, seedL, lengths, *, is_max,
 def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
                         interpret, save_charts: bool = False):
     B_total = attL.shape[-1]
-    if B_total > _MAX_LAUNCH_B:
+    n1 = attL.shape[0]
+    v2_launch = _v2_max_launch(n1, save_charts) if USE_V2_INSIDE else 0
+    launch_b = v2_launch if v2_launch else _MAX_LAUNCH_B
+    if B_total > launch_b:
         if save_charts:
             def one(*a):
                 out, charts = _pallas_inside_call(
@@ -642,16 +680,17 @@ def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
                 return (out,) + charts
 
             out, Cr, Cl, Ir, Il = _chunked(
-                one, 5, attL, attR, seedR, seedL, lengths
+                one, 5, attL, attR, seedR, seedL, lengths,
+                chunk_b=launch_b,
             )
             return out, (Cr, Cl, Ir, Il)
         out = _chunked(
             lambda *a: _pallas_inside_call(*a, is_max=is_max,
                                            interpret=interpret)[0],
-            1, attL, attR, seedR, seedL, lengths,
+            1, attL, attR, seedR, seedL, lengths, chunk_b=launch_b,
         )
         return out, None
-    if USE_V2_INSIDE and _v2_fits_vmem(attL.shape[0]):
+    if v2_launch:
         return _pallas_inside_call_v2(
             attL, attR, seedR, seedL, lengths, is_max=is_max,
             interpret=interpret, save_charts=save_charts,
@@ -698,28 +737,301 @@ def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
     return out[0], None
 
 
-def _pallas_outside_call(attL, attR, lengths, gout, logz, charts, *,
-                         is_max, interpret):
-    B_total = attL.shape[-1]
-    if B_total > _MAX_LAUNCH_B:
-        return _chunked(
-            lambda aL, aR, le, go, lz, c0, c1, c2, c3: _pallas_outside_call(
-                aL, aR, le, go, lz, (c0, c1, c2, c3),
-                is_max=is_max, interpret=interpret,
-            ),
-            4, attL, attR, lengths, gout, logz, *charts,
+def _outside_kernel_v2(n1, n1r, cp, cp2, is_max,
+                       attL_ref, attR_ref, len_ref, gout_ref, logz_ref,
+                       ClEpad, Crpad, Ilpad, CrEpad, IrEpad, Clpad,
+                       seedsR_ref, seedsL_ref,
+                       gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
+                       OCl, OClE, OCr, OCrE, tmpL, tmpR, tmpLE, tmpRE):
+    """PULL-form vectorized outside pass (the adjoint counterpart of the
+    v2 inside fill): every adjoint row at width u is ONE slab reduction
+    over the split point, instead of a sequential t-loop of pushes.
+
+    Derivation (from the push adjoints in :func:`_outside_kernel`, with
+    r = u + s the absolute source width):
+      OIl[u,v,j]  = LSE_r { OClE[r,v,j+u]      + ClE[r-u, NC, j] }
+      OIr[u,v,j]  = LSE_r { OCr[r,v,j]         + Cr[r-u, NC, j+u] }
+      OCl[u,NC,i] ⊕= LSE_{r,v'} { OCl[r,v',i]  + Il[r-u, v', i+u] }
+      OCl[u,HC,j] ⊕= LSE_r { tmp_lE[r, j+u]    + CrE[r-u-1, NC, j-1] }
+      OCl[u,NC,j] ⊕= LSE_r { tmp_rE[r, j+u]    + CrE[r-u-1, HC, j-1] }
+      OCr[u,NC,i] ⊕= LSE_{r,v'} { OCrE[r,v',i+u] + IrE[r-u, v', i] }
+      OCr[u,NC,i] ⊕= LSE_r { tmp_l[r, i]       + Cl[r-u-1, HC, i+u+1] }
+      OCr[u,HC,i] ⊕= LSE_r { tmp_r[r, i]       + Cl[r-u-1, NC, i+u+1] }
+    where E-layouts index positions by span END (e = pos + width) and
+    ``*pad`` inputs are row-padded to 2*n1 (rows < n1 are NEGINF), so
+    every r-range/boundary constraint is enforced by NEGINF padding
+    alone — invalid source rows read semiring zero. tmp_* are
+    ``Σ_v (OI*[u,v,:] + att*[u,v,:])``, maintained in both layouts.
+    """
+
+    def lse(x, axes):
+        if is_max:
+            return jnp.max(x, axis=axes)
+        m = jnp.max(x, axis=axes, keepdims=True)
+        s = jnp.sum(jnp.exp(x - m), axis=axes)
+        return jnp.squeeze(m, axes) + jnp.log(s)
+
+    def plus(a, b):
+        return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
+
+    OCl[:, :, :, :] = jnp.full((n1, 2, n1r, BT), NEGINF, jnp.float32)
+    OClE[:, :, :, :] = jnp.full((n1, 2, cp, BT), NEGINF, jnp.float32)
+    OCr[:, :, :, :] = jnp.full((n1, 2, n1r, BT), NEGINF, jnp.float32)
+    OCrE[:, :, :, :] = jnp.full((n1, 2, cp, BT), NEGINF, jnp.float32)
+    tmpL[:, :, :] = jnp.full((n1, n1r, BT), NEGINF, jnp.float32)
+    tmpR[:, :, :] = jnp.full((n1, n1r, BT), NEGINF, jnp.float32)
+    tmpLE[:, :, :] = jnp.full((n1, cp, BT), NEGINF, jnp.float32)
+    tmpRE[:, :, :] = jnp.full((n1, cp, BT), NEGINF, jnp.float32)
+
+    lengths = len_ref[0, :]
+    logz = logz_ref[0, :]
+    gout = gout_ref[0, :]
+    i_iota = lax.broadcasted_iota(jnp.int32, (n1r, BT), 0)
+
+    def grad_of(inside, outside):
+        if is_max:
+            ind = inside + outside >= logz[None, None, :] - _MAX_EPS
+            return jnp.where(ind, 1.0, 0.0) * gout[None, None, :]
+        return (
+            jnp.exp(jnp.minimum(inside + outside - logz[None, None, :], 88.0))
+            * gout[None, None, :]
         )
+
+    def w_body(urev, _):
+        u = n1 - 1 - urev  # descending n1-1 .. 0
+
+        # ---- OCl[u] ----
+        ocl_nc = lse(
+            OCl[:, :, :, :]
+            + Ilpad[pl.ds(n1 - u, n1), :, pl.ds(u, n1r), :],
+            (0, 1),
+        )
+        ocl_nc = plus(ocl_nc, lse(
+            tmpRE[:, pl.ds(u, n1r), :]
+            + CrEpad[pl.ds(n1 - u - 1, n1), HASCHILD, pl.ds(7, n1r), :],
+            0,
+        ))
+        ocl_hc = lse(
+            tmpLE[:, pl.ds(u, n1r), :]
+            + CrEpad[pl.ds(n1 - u - 1, n1), NOCHILD, pl.ds(7, n1r), :],
+            0,
+        )
+        chans = [None, None]
+        chans[NOCHILD] = ocl_nc
+        chans[HASCHILD] = ocl_hc
+        ocl_u = jnp.stack(chans)
+        OCl[u, :, :, :] = ocl_u
+        OClE[u, :, pl.ds(u, n1r), :] = ocl_u
+
+        # ---- OCr[u] (+ final-cell seed and root mask) ----
+        ocr_nc = lse(
+            OCrE[:, :, pl.ds(u, n1r), :]
+            + IrEpad[pl.ds(n1 - u, n1), :, pl.ds(0, n1r), :],
+            (0, 1),
+        )
+        ocr_nc = plus(ocr_nc, lse(
+            tmpL[:, :, :]
+            + Clpad[pl.ds(n1 - u - 1, n1), HASCHILD, pl.ds(u + 1, n1r), :],
+            0,
+        ))
+        ocr_hc = lse(
+            tmpR[:, :, :]
+            + Clpad[pl.ds(n1 - u - 1, n1), NOCHILD, pl.ds(u + 1, n1r), :],
+            0,
+        )
+        chans = [None, None]
+        chans[NOCHILD] = ocr_nc
+        chans[HASCHILD] = ocr_hc
+        ocr_u = jnp.stack(chans)
+        at_final = (lengths[None, :] == u) & (i_iota == 0)
+        sel_nc = lax.broadcasted_iota(jnp.int32, (2, n1r, BT), 0) == NOCHILD
+        ocr_u = jnp.where(
+            sel_nc & at_final[None], jnp.maximum(ocr_u, 0.0), ocr_u
+        )
+        # forward applies the single-root mask only at widths >= 1
+        root_keep = (i_iota != 0) | (lengths[None, :] == u) | (u == 0)
+        ocr_u = jnp.where(root_keep[None], ocr_u, NEGINF)
+        OCr[u, :, :, :] = ocr_u
+        OCrE[u, :, pl.ds(u, n1r), :] = ocr_u
+
+        # ---- OIl[u], OIr[u], attach grads, tmp rows ----
+        # The r = u source row was written THIS iteration; reading it
+        # back through a dynamically-indexed slab races on hardware
+        # (Mosaic misses same-iteration write->read overlap), so the
+        # slab masks row u to semiring-zero and the fresh term is folded
+        # in from the in-register value (same trick as the v2 inside).
+        row_iota = lax.broadcasted_iota(jnp.int32, (n1, 1, 1, 1), 0)
+        not_u = row_iota != u
+        oil_rest = lse(
+            jnp.where(
+                not_u,
+                OClE[:, :, pl.ds(u, n1r), :]
+                + ClEpad[pl.ds(n1 - u, n1), :, pl.ds(0, n1r), :],
+                NEGINF,
+            ),
+            0,
+        )
+        oil_u = plus(oil_rest, ocl_u + ClEpad[n1, :, pl.ds(0, n1r), :])
+        oir_rest = lse(
+            jnp.where(
+                not_u,
+                OCr[:, :, :, :]
+                + Crpad[pl.ds(n1 - u, n1), :, pl.ds(u, n1r), :],
+                NEGINF,
+            ),
+            0,
+        )
+        oir_u = plus(oir_rest, ocr_u + Crpad[n1, :, pl.ds(u, n1r), :])
+        il_u = Ilpad[n1 + u, :, pl.ds(0, n1r), :]
+        ir_u = IrEpad[n1 + u, :, pl.ds(u, n1r), :]
+        gattL_ref[u, :, :, :] = grad_of(il_u, oil_u)
+        gattR_ref[u, :, :, :] = grad_of(ir_u, oir_u)
+
+        tl = oil_u + attL_ref[u]
+        tl = plus(tl[0], tl[1])
+        tr = oir_u + attR_ref[u]
+        tr = plus(tr[0], tr[1])
+        tmpL[u, :, :] = tl
+        tmpR[u, :, :] = tr
+        tmpLE[u, pl.ds(u, n1r), :] = tl
+        tmpRE[u, pl.ds(u, n1r), :] = tr
+        return 0
+
+    lax.fori_loop(0, n1, w_body, 0)
+
+    # width-0 attach-grad rows are not real updates
+    gattL_ref[0, :, :, :] = jnp.zeros((2, n1r, BT), jnp.float32)
+    gattR_ref[0, :, :, :] = jnp.zeros((2, n1r, BT), jnp.float32)
+
+    gseedR_ref[:] = grad_of(seedsR_ref[:, :, :], OCr[0, :, :, :])
+    gseedL_ref[:] = grad_of(seedsL_ref[:, :, :], OCl[0, :, :, :])
+
+
+def _outside_cp(n1: int) -> int:
+    """Padded position width for the outside layout: max shift is
+    ``1 + t <= n1 - 1``, so reads/writes span ``n1 - 1 + n1r`` columns."""
+    return _round8(n1 - 1 + _round8(n1))
+
+
+def _outside_max_launch(n1: int) -> int:
+    """Largest per-launch batch for the outside kernel (0 if over VMEM):
+    4 column-padded saved charts + attL/attR + grads as blocks, 4
+    column-padded adjoints as scratch."""
+    n1r = _round8(n1)
+    cp = _outside_cp(n1)
+    chart = n1 * 2 * n1r * BT * 4
+    pchart = n1 * 2 * cp * BT * 4
+    blocks = 2 * chart + 4 * pchart + 2 * chart + 3 * BT * 4 \
+        + 2 * (2 * n1r * BT * 4)
+    scratch = 4 * pchart
+    if 2 * blocks + scratch <= _V2_BUDGET:
+        return _MAX_LAUNCH_B
+    if blocks + scratch <= 96 * 1024 * 1024:
+        return BT
+    return 0
+
+
+def _row_shift_right(x, width):
+    """Shift row k of ``x`` right by k positions into a ``width``-column
+    frame (NEGINF fill): builds END-position (e = pos + width) layouts.
+    x: [n1, V, n1r, B] -> [n1, V, width, B]."""
+    n1, _, n1r, _ = x.shape
+    e = jnp.arange(width)[None, :]
+    k = jnp.arange(n1)[:, None]
+    src = e - k
+    valid = (src >= 0) & (src < n1r)
+    out = jnp.take_along_axis(
+        x, jnp.clip(src, 0, n1r - 1)[:, None, :, None], axis=2
+    )
+    return jnp.where(valid[:, None, :, None], out, NEGINF)
+
+
+def _row_pad(x, n1):
+    """Prepend n1 NEGINF rows (row-padding for r-form slab reads)."""
+    return jnp.pad(x, [(n1, 0)] + [(0, 0)] * (x.ndim - 1),
+                   constant_values=NEGINF)
+
+
+def _col_pad(x, cols):
+    return jnp.pad(x, [(0, 0), (0, 0), (0, cols - x.shape[2]), (0, 0)],
+                   constant_values=NEGINF)
+
+
+def _outside_v2_max_launch(n1: int) -> int:
+    n1r = _round8(n1)
+    cp = _outside_cp(n1)
+    cp2 = _round8(n1 + n1r)
+    cpe = _round8(8 + n1r)
+    u = lambda rows, V, cols: rows * V * cols * BT * 4
+    blocks = (
+        2 * u(n1, 2, n1r)          # attL/attR
+        + u(2 * n1, 1, n1r)        # ClEpad
+        + u(2 * n1, 1, cp)         # Crpad
+        + u(2 * n1, 2, cp)         # Ilpad
+        + u(2 * n1, 2, cpe)        # CrEpad
+        + u(2 * n1, 2, cp)         # IrEpad
+        + u(2 * n1, 2, cp2)        # Clpad
+        + 4 * u(1, 2, n1r)         # seeds in + gseeds out
+        + 2 * u(n1, 2, n1r)        # gatt out
+        + 3 * BT * 4
+    )
+    scratch = (2 * u(n1, 2, n1r) + 2 * u(n1, 2, cp)
+               + 2 * u(n1, 1, n1r) + 2 * u(n1, 1, cp))
+    if 2 * blocks + scratch <= _V2_BUDGET:
+        return _MAX_LAUNCH_B
+    if blocks + scratch <= 96 * 1024 * 1024:
+        return BT
+    return 0
+
+
+# Pull-form (v2) outside kernel: measured SLOWER than the push-form
+# (v1.5) on v5e (len30/b256 io: 587K vs 703K sent/s in the same timing
+# window) — each pull reduces a full [n1, ...] slab of which only
+# (n1 - u) rows are valid, so ~half the slab work is wasted, and Mosaic
+# handles the small per-t push ops well once staging pads are gone.
+# Kept behind this flag (interpret-parity-tested) for future tuning.
+USE_V2_OUTSIDE = False
+
+
+def _pallas_outside_call_v2(attL, attR, lengths, gout, logz, seeds, charts,
+                            *, is_max, interpret):
     n1, _, n1r, B = attL.shape
+    cp = _outside_cp(n1)
+    cp2 = _round8(n1 + n1r)
+    cpe = _round8(8 + n1r)
+    Cr, Cl, Ir, Il = charts
+    seedR, seedL = seeds
+    NC = NOCHILD
+
+    ClEpad = _row_pad(_row_shift_right(Cl[:, NC:NC + 1], n1r), n1)
+    Crpad = _row_pad(_col_pad(Cr[:, NC:NC + 1], cp), n1)
+    Ilpad = _row_pad(_col_pad(Il, cp), n1)
+    CrEpad = _row_pad(
+        jnp.pad(_row_shift_right(Cr, n1r), [(0, 0), (0, 0),
+                                            (8, cpe - n1r - 8), (0, 0)],
+                constant_values=NEGINF),
+        n1,
+    )
+    IrEpad = _row_pad(_row_shift_right(Ir, cp), n1)
+    Clpad = _row_pad(_col_pad(Cl, cp2), n1)
+
     grid = (B // BT,)
-    chart = lambda: pltpu.VMEM((n1, 2, n1r, BT), jnp.float32)
-    pad = lambda: pltpu.VMEM((2, _round8(n1 + n1r), BT), jnp.float32)
     att_spec, seed_spec, row_spec = _specs(n1, n1r)
-    kernel = functools.partial(_outside_kernel, n1, n1r, is_max)
+    spec = lambda rows, V, cols: pl.BlockSpec(
+        (rows, V, cols, BT), lambda g: (0, 0, 0, g),
+        memory_space=pltpu.VMEM,
+    )
+    scr = lambda rows, V, cols: pltpu.VMEM((rows, V, cols, BT), jnp.float32)
+    kernel = functools.partial(_outside_kernel_v2, n1, n1r, cp, cp2, is_max)
     gattL, gattR, gseedR, gseedL = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[att_spec, att_spec, row_spec, row_spec, row_spec,
-                  att_spec, att_spec, att_spec, att_spec],
+        in_specs=[
+            att_spec, att_spec, row_spec, row_spec, row_spec,
+            spec(2 * n1, 1, n1r), spec(2 * n1, 1, cp), spec(2 * n1, 2, cp),
+            spec(2 * n1, 2, cpe), spec(2 * n1, 2, cp), spec(2 * n1, 2, cp2),
+            seed_spec, seed_spec,
+        ],
         out_specs=(att_spec, att_spec, seed_spec, seed_spec),
         out_shape=(
             jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
@@ -727,9 +1039,87 @@ def _pallas_outside_call(attL, attR, lengths, gout, logz, charts, *,
             jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
             jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
         ),
-        scratch_shapes=[chart() for _ in range(4)] + [pad(), pad(), pad()],
+        scratch_shapes=[
+            scr(n1, 2, n1r), scr(n1, 2, cp),      # OCl, OClE
+            scr(n1, 2, n1r), scr(n1, 2, cp),      # OCr, OCrE
+            pltpu.VMEM((n1, n1r, BT), jnp.float32),
+            pltpu.VMEM((n1, n1r, BT), jnp.float32),
+            pltpu.VMEM((n1, cp, BT), jnp.float32),
+            pltpu.VMEM((n1, cp, BT), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=24 * n1 ** 3 * B,
+            bytes_accessed=(8 * n1 * n1 * 2 + 8 * n1 * 2 + 4) * B * 4,
+            transcendentals=0 if is_max else 8 * n1 ** 3 * B,
+        ),
+    )(attL, attR, lengths, gout, logz,
+      ClEpad, Crpad, Ilpad, CrEpad, IrEpad, Clpad, seedR, seedL)
+    return gattL, gattR, gseedR, gseedL
+
+
+def _pallas_outside_call(attL, attR, lengths, gout, logz, charts, *,
+                         is_max, interpret, seeds=None):
+    B_total = attL.shape[-1]
+    n1 = attL.shape[0]
+    v2_launch = _outside_v2_max_launch(n1) if USE_V2_OUTSIDE else 0
+    if v2_launch and seeds is not None:
+        if B_total > v2_launch:
+            return _chunked(
+                lambda aL, aR, le, go, lz, sR, sL, c0, c1, c2, c3:
+                _pallas_outside_call(
+                    aL, aR, le, go, lz, (c0, c1, c2, c3),
+                    is_max=is_max, interpret=interpret, seeds=(sR, sL),
+                ),
+                4, attL, attR, lengths, gout, logz, *seeds, *charts,
+                chunk_b=v2_launch,
+            )
+        return _pallas_outside_call_v2(
+            attL, attR, lengths, gout, logz, seeds, charts,
+            is_max=is_max, interpret=interpret,
+        )
+    launch_b = _outside_max_launch(n1) or _MAX_LAUNCH_B
+    if B_total > launch_b:
+        return _chunked(
+            lambda aL, aR, le, go, lz, c0, c1, c2, c3: _pallas_outside_call(
+                aL, aR, le, go, lz, (c0, c1, c2, c3),
+                is_max=is_max, interpret=interpret,
+            ),
+            4, attL, attR, lengths, gout, logz, *charts,
+            chunk_b=launch_b,
+        )
+    n1, _, n1r, B = attL.shape
+    cp = _outside_cp(n1)
+    # column-pad the saved charts so shifted reads are direct slices
+    charts = tuple(
+        jnp.pad(c, [(0, 0), (0, 0), (0, cp - n1r), (0, 0)],
+                constant_values=NEGINF)
+        for c in charts
+    )
+    grid = (B // BT,)
+    pchart = lambda: pltpu.VMEM((n1, 2, cp, BT), jnp.float32)
+    att_spec, seed_spec, row_spec = _specs(n1, n1r)
+    pchart_spec = pl.BlockSpec((n1, 2, cp, BT), lambda g: (0, 0, 0, g),
+                               memory_space=pltpu.VMEM)
+    kernel = functools.partial(_outside_kernel, n1, n1r, cp, is_max)
+    gattL, gattR, gseedR, gseedL = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[att_spec, att_spec, row_spec, row_spec, row_spec,
+                  pchart_spec, pchart_spec, pchart_spec, pchart_spec],
+        out_specs=(att_spec, att_spec, seed_spec, seed_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
+            jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
+        ),
+        scratch_shapes=[pchart() for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -786,7 +1176,17 @@ def _make_dmv_total(is_max: bool, interpret: bool):
         dec, attach, lengths, value, charts, attL, attR = res
         dec_dtype, attach_dtype = dec.dtype, attach.dtype
         B, n1 = attach.shape[:2]
+        n1r = _round8(n1)
         lrow = lengths.astype(jnp.int32)[None, :]
+        pad_i = [(0, 0), (0, n1r - n1), (0, 0)]
+        seedR = _pad_batch(jnp.pad(
+            jnp.transpose(dec.astype(jnp.float32)[:, :, RIGHT, :, STOP],
+                          (2, 1, 0)), pad_i, constant_values=NEGINF
+        ), NEGINF)
+        seedL = _pad_batch(jnp.pad(
+            jnp.transpose(dec.astype(jnp.float32)[:, :, LEFT, :, STOP],
+                          (2, 1, 0)), pad_i, constant_values=NEGINF
+        ), NEGINF)
         gattL, gattR, gseedR, gseedL = _pallas_outside_call(
             attL, attR,
             _pad_batch(lrow, 1),
@@ -795,6 +1195,7 @@ def _make_dmv_total(is_max: bool, interpret: bool):
             charts,
             is_max=is_max,
             interpret=interpret,
+            seeds=(seedR, seedL),
         )
         g_dec, g_attach = _unprep_grads(
             gattL[..., :B], gattR[..., :B], gseedR[..., :B],
