@@ -506,3 +506,87 @@ def test_joint_config_rejects_unknown_strategies():
         DependencyBoxRelConfig(decode_grounding_mode="bogus")
     with pytest.raises(ValueError):
         DependencyBoxRelConfig(gather_logit_mode="reduced")  # needs on_img
+
+
+def test_reduced_training_matching_matches_full_attmap():
+    """The training path's reduced matching (mask-folded bf16/f32 maxes +
+    recomputed penalized diagonal; never materializes [B,B,Q,V]) must
+    produce the same grounding loss as the full-attention-map path used
+    at eval (ref: joint.py:406-499 semantics)."""
+    rng = np.random.default_rng(31)
+    emb = CompositeEmbedding(
+        items=(
+            EmbeddingItemCfg("word_embedding", "word", "static",
+                             n_vocab=N_WORD, embedding_dim=16),
+            EmbeddingItemCfg("tag_embedding", "tag", "static",
+                             n_vocab=N_TAG, embedding_dim=8),
+        ),
+    )
+    dep_cfg = LDNDMVConfig(
+        context_mode="mean", hidden_size=24, attach_rank=4, dec_rank=4,
+        root_rank=4, root_emb_dim=6, dec_emb_dim=6, n_token=N_TOKEN,
+        n_tag=N_TAG, ff_dropout=0.0, mid_dropout=0.0,
+    )
+    dep = DiscriminativeNDMV(
+        cfg=dep_cfg, embedding=emb, encoder=MLPEncoder(n_hidden=24),
+        token2word=tuple(int(i % N_WORD) for i in range(N_TOKEN)),
+        token2tag=tuple(int(i % N_TAG) for i in range(N_TOKEN)),
+    )
+    vis = VisBoxRelSimpleEncoder(n_hidden=24, img_feat=True, use_attr=True,
+                                 use_img=False)
+    cfg = DependencyBoxRelConfig(
+        match_hidden=16, fuse_num_heads=2, fuse_dropout=0.0,
+        word_encoder_dropout=0.0, bf16_matmul=False,
+    )
+    model = DependencyBoxRel(
+        cfg=cfg, dep_cfg=dep_cfg, dependency=dep, vis_encoder=vis,
+        pos_for_obj=(2,), pos_for_rel=(3,), pos_for_attr=(4,),
+    )
+    B, L, P = 4, 5, 4
+    inputs = make_inputs(rng, B=B, L=L)
+    inputs["vis_box_feat"] = jnp.asarray(
+        rng.standard_normal((B, P, 10)), jnp.float32
+    )
+    inputs["vis_box_mask"] = jnp.asarray(np.tile(np.arange(P) < 3, (B, 1)))
+    inputs["vis_available"] = jnp.ones(B, bool)
+    params = model.init(jax.random.key(0), inputs)
+
+    out_train = model.apply(
+        params, inputs, deterministic=False,
+        rngs={"dropout": jax.random.key(1), "sample": jax.random.key(2)},
+    )
+    out_eval = model.apply(params, inputs, deterministic=True)
+    assert out_train.get("match_reduced") is not None
+    assert out_train["match_logit"].ndim == 3  # reduced [B, A, Q]
+    assert out_eval["match_logit"].ndim == 4   # full [B, A, Q, V]
+    assert out_eval.get("match_reduced") is None
+
+    loss_t, aux_t = model.apply(
+        params, out_train, None, inputs, jnp.zeros(()), {}, 1.0,
+        method=model.loss,
+    )
+    loss_e, aux_e = model.apply(
+        params, out_eval, None, inputs, jnp.zeros(()), {}, 1.0,
+        method=model.loss,
+    )
+    assert float(loss_t) == pytest.approx(float(loss_e), rel=1e-5)
+    for k in aux_e:
+        assert float(aux_t[k]) == pytest.approx(float(aux_e[k]), rel=1e-5)
+
+    # gradients agree too (the folded-mask max routes identically)
+    def tloss(p, det):
+        o = model.apply(
+            p, inputs, deterministic=det,
+            rngs={} if det else {"dropout": jax.random.key(1),
+                                 "sample": jax.random.key(2)},
+        )
+        t, _ = model.apply(p, o, None, inputs, jnp.zeros(()), {}, 1.0,
+                           method=model.loss)
+        return t
+
+    g_t = jax.grad(lambda p: tloss(p, False))(params)
+    g_e = jax.grad(lambda p: tloss(p, True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_t),
+                    jax.tree_util.tree_leaves(g_e)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

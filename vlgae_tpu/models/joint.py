@@ -288,6 +288,61 @@ class DependencyBoxRel(fnn.Module):
             inputs, encoded, lang_score, mask, deterministic
         )
 
+    # -- reduced training matching (never materializes [B,B,Q,V]) -----------
+    def gather_logit_train(self, vis, txt):
+        """Training-path pairwise matching WITHOUT materializing the
+        [B_txt, B_img, Q, V] attention map.
+
+        The profile shows the full-map materialization (plus its mask
+        and penalty passes) dominates the train step, so here the
+        vis/txt masks are FOLDED INTO the matmul via two extra feature
+        dims (a masked row/column contributes a -INF bias through the
+        dot product), and the map is max-reduced immediately:
+            logit[b,a,q]   = max_v att(b,a,q,v)
+            logit_v[b,a,v] = max_q att(b,a,q,v)
+        The POS-prior penalty only touches the diagonal (own-image)
+        entries, so the loss recomputes just the [B, Q, V] diagonal
+        block (see loss_grounding_factor_ce). Semantics match
+        ref: joint.py:406-499 exactly; only the evaluation/decode path
+        still builds the full map (it needs per-(q, v) scores).
+        """
+        vis_feat, vis_mask, _ = vis[:3]
+        txt_feat, txt_mask, txt_marginal = txt
+        dt = jnp.bfloat16 if self.cfg.bf16_matmul else jnp.float32
+        B, V = vis_mask.shape
+        Q = txt_mask.shape[1]
+        ones_v = jnp.ones((B, V, 1), dt)
+        ones_q = jnp.ones((B, Q, 1), dt)
+        vis_b = jnp.concatenate(
+            [vis_feat.astype(dt),
+             (-INF * (1.0 - vis_mask[..., None])).astype(dt), ones_v], -1
+        )
+        txt_b = jnp.concatenate(
+            [txt_feat.astype(dt), ones_q,
+             (-INF * (1.0 - txt_mask[..., None])).astype(dt)], -1
+        )
+        att = jnp.einsum("avd,bqd->baqv", vis_b, txt_b)  # dt accumulation
+        logit = jnp.max(att, axis=-1).astype(jnp.float32)    # [B, A, Q]
+        logit_v = jnp.max(att, axis=-2).astype(jnp.float32)  # [B, A, V]
+        return logit, logit_v
+
+    def _diag_att(self, out, inputs, with_pen: bool):
+        """Own-image [B, Q, V] matching block (f32), with masks and the
+        POS-prior penalty (ref: joint.py:444-471) applied."""
+        vis_feat, vis_mask, vis_split = out["vis_packed"][:3]
+        txt_feat, txt_mask, _ = out["txt_packed"]
+        att = jnp.einsum(
+            "bvd,bqd->bqv",
+            vis_feat.astype(jnp.float32), txt_feat.astype(jnp.float32),
+        )
+        att = jnp.where(vis_mask[:, None, :], att, -INF)
+        att = jnp.where(txt_mask[:, :, None], att, -INF)
+        if with_pen:
+            att = att + self._pos_prior_mask(
+                att, inputs["tag"], vis_split, self_pairs=True
+            )
+        return att
+
     # -- gather_logit (ref: joint.py:406-432) --------------------------------
     def gather_logit(self, vis, txt):
         vis_feat, vis_mask, _ = vis[:3]
@@ -357,12 +412,15 @@ class DependencyBoxRel(fnn.Module):
             txt = self.lang_feat(
                 inputs, encoded, lang_score, mask, deterministic
             )
-            logit = self.gather_logit(vis, txt)
-            out.update({
-                "match_logit": logit,
-                "vis_packed": vis,
-                "txt_packed": txt,
-            })
+            out.update({"vis_packed": vis, "txt_packed": txt})
+            if (not deterministic
+                    and cfg.gather_logit_mode == "simple"
+                    and cfg.loss_grounding_mode == "factor|ce"):
+                # training: reduced matching, no [B,B,Q,V] materialized
+                out["match_reduced"] = self.gather_logit_train(vis, txt)
+                out["match_logit"] = out["match_reduced"][0]  # [B,A,Q]
+            else:
+                out["match_logit"] = self.gather_logit(vis, txt)
         return out
 
     # -- grounding loss (ref: joint.py:439-499) -------------------------------
@@ -399,26 +457,47 @@ class DependencyBoxRel(fnn.Module):
         return pen
 
     def loss_grounding_factor_ce(self, out, inputs):
-        """(ref: joint.py:440-491)"""
+        """(ref: joint.py:440-491)
+
+        Two equivalent paths: the training path consumes the reduced
+        (max-pooled) logits from :meth:`gather_logit_train` and
+        substitutes the diagonal entries from a small recomputed
+        [B, Q, V] own-image block carrying the POS-prior penalty; the
+        eval/strategy paths reduce the full attention map as before.
+        """
         cfg = self.cfg
-        attmap = out["match_logit"]  # [B, A, Q, V]
         txt_feat, txt_mask, txt_marginal = out["txt_packed"]
         vis_feat, vis_mask, vis_split = out["vis_packed"][:3]
-        B = attmap.shape[0]
-        if cfg.loss_use_pos_prior:
-            pen = self._pos_prior_mask(
-                attmap, inputs["tag"], vis_split, self_pairs=True
+        if out.get("match_reduced") is not None:
+            logit, logit_v = out["match_reduced"]
+            B = logit.shape[0]
+            att_d = self._diag_att(out, inputs,
+                                   with_pen=cfg.loss_use_pos_prior)
+            eye = jnp.eye(B, dtype=bool)
+            logit = jnp.where(
+                eye[:, :, None], att_d.max(-1)[:, None, :], logit
             )
-            # apply only on the diagonal (own image) entries. NOTE: a
-            # scatter (`attmap.at[ar, ar].add(pen)`) touches fewer
-            # elements on paper but measured 28% slower end-to-end on
-            # TPU — the masked broadcast add fuses into the einsum
-            # consumer, the scatter doesn't.
-            eye = jnp.eye(B, dtype=bool)[:, :, None, None]
-            attmap = attmap + jnp.where(eye, pen[:, None], 0.0)
+            logit_v = jnp.where(
+                eye[:, :, None], att_d.max(-2)[:, None, :], logit_v
+            )
+        else:
+            attmap = out["match_logit"]  # [B, A, Q, V]
+            B = attmap.shape[0]
+            if cfg.loss_use_pos_prior:
+                pen = self._pos_prior_mask(
+                    attmap, inputs["tag"], vis_split, self_pairs=True
+                )
+                # apply only on the diagonal (own image) entries. NOTE:
+                # a scatter (`attmap.at[ar, ar].add(pen)`) touches fewer
+                # elements on paper but measured 28% slower end-to-end
+                # on TPU — the masked broadcast add fuses into the
+                # einsum consumer, the scatter doesn't.
+                eye = jnp.eye(B, dtype=bool)[:, :, None, None]
+                attmap = attmap + jnp.where(eye, pen[:, None], 0.0)
+            logit = attmap.max(-1)  # [B, A, Q]
+            logit_v = attmap.max(-2)  # [B, A, V]
 
         num_token = inputs["seq_len"].sum()
-        logit = attmap.max(-1)  # [B, A, Q]
         logit = jax.nn.log_softmax(logit, axis=1)
         diag = jnp.einsum("bbq->bq", logit)
         txt2vis = -(diag * txt_marginal).sum()
@@ -427,7 +506,6 @@ class DependencyBoxRel(fnn.Module):
             * num_token
         }
         if cfg.loss_vis2txt > 0:
-            logit_v = attmap.max(-2)  # [B, A, V]
             logit_v = jax.nn.log_softmax(logit_v, axis=0)
             diag_v = jnp.einsum("bbv->bv", logit_v)
             vis2txt = -(diag_v * vis_mask).sum()
