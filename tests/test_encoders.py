@@ -68,3 +68,56 @@ def test_multi_encoder_mapping():
     assert out["x"].shape == (B, L, 5 + D)
     assert out["y"].shape == (B, L, D)
     assert enc.get_dim("x") == 5 + D
+
+
+def test_biaffine_scorer_shapes_and_scale():
+    from vlgae_tpu.models.nn import Biaffine, BiaffineScorer
+
+    rng = np.random.default_rng(3)
+    B, L, D, H = 2, 5, 8, 6
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+
+    arc = BiaffineScorer(hidden_dim=H, out_dim=1)
+    p = arc.init(jax.random.key(0), x, x2)
+    out = arc.apply(p, x, x2)
+    assert out.shape == (B, L, L, 1)
+    # zero-initialized biaffine weight -> zero scores at init
+    assert np.allclose(np.asarray(out), 0.0)
+
+    lab = BiaffineScorer(hidden_dim=H, out_dim=3, scale=False)
+    p = lab.init(jax.random.key(1), x, x2)
+    out = lab.apply(p, x, x2)
+    assert out.shape == (B, L, L, 3)
+
+    # scale=True multiplies both MLP outputs by H**-0.25; with the bias
+    # rows/cols of the affine weight zeroed the score is purely bilinear
+    # in the MLP outputs, so the scaled score is H**-0.5 x unscaled
+    w = jnp.asarray(rng.standard_normal(
+        np.asarray(p["params"]["affine"]["weight"]).shape), jnp.float32)
+    w = w.at[:, -1, :].set(0.0).at[:, :, -1].set(0.0)
+    p_w = jax.tree_util.tree_map(lambda a: a, p)
+    p_w["params"]["affine"]["weight"] = w
+    unscaled = lab.apply(p_w, x, x2)
+    scaled = BiaffineScorer(hidden_dim=H, out_dim=3, scale=True).apply(
+        p_w, x, x2)
+    np.testing.assert_allclose(
+        np.asarray(scaled), np.asarray(unscaled) * H ** -0.5,
+        rtol=1e-5, atol=1e-6)
+
+
+def test_biaffine_bias_terms():
+    from vlgae_tpu.models.nn import Biaffine
+
+    rng = np.random.default_rng(4)
+    B, L, D = 2, 4, 5
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    bi = Biaffine(n_out=1, bias_x=True, bias_y=False)
+    p = bi.init(jax.random.key(0), x, y)
+    w = jnp.asarray(rng.standard_normal((1, D + 1, D)), jnp.float32)
+    p = {"params": {"weight": w}}
+    out = bi.apply(p, x, y)
+    xb = np.concatenate([np.asarray(x), np.ones((B, L, 1), np.float32)], -1)
+    want = np.einsum("bxi,ij,byj->bxy", xb, np.asarray(w[0]), np.asarray(y))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)

@@ -114,6 +114,42 @@ class Biaffine(fnn.Module):
         return s[:, 0] if self.n_out == 1 else s
 
 
+class BiaffineScorer(fnn.Module):
+    """MLP-projected biaffine scorer with 1/sqrt(sqrt(h)) scaling
+    (ref: affine_scorer.py:11-35).
+
+    Splits the input rep in half, projects each half through its own
+    MLP, rescales both by ``hidden_dim ** -0.25`` (so the biaffine
+    product is ~unit variance), and returns arc/label scores laid out
+    ``[B, x, y, out]``.
+    """
+
+    hidden_dim: int
+    out_dim: int = 1
+    mlp_dropout: float = 0.0
+    mlp_activate: bool = True
+    scale: bool = True
+
+    @property
+    def n_out(self):
+        return self.out_dim
+
+    @fnn.compact
+    def __call__(self, x, x2, *, deterministic: bool = True):
+        h1 = MLP(self.hidden_dim, self.mlp_dropout, self.mlp_activate,
+                 name="mlp1")(x, deterministic=deterministic)
+        h2 = MLP(self.hidden_dim, self.mlp_dropout, self.mlp_activate,
+                 name="mlp2")(x2, deterministic=deterministic)
+        if self.scale:
+            s = self.hidden_dim ** -0.25
+            h1, h2 = h1 * s, h2 * s
+        out = Biaffine(self.out_dim, bias_x=True,
+                       bias_y=self.out_dim > 1, name="affine")(h1, h2)
+        if self.out_dim == 1:
+            return out[..., None]  # [B, x, y, 1]
+        return jnp.moveaxis(out, 1, -1)  # [B, x, y, out]
+
+
 class ScalarMix(fnn.Module):
     """Softmax-weighted layer mixture with gamma (ref: scalar_mix.py:5-50)."""
 
