@@ -4,8 +4,10 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from vlgae_tpu.training import Pipeline
 
@@ -40,6 +42,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_export_forward_roundtrip(tmp_path):
     import numpy as np
     import jax.numpy as jnp

@@ -18,6 +18,8 @@ import synth_data
 from vlgae_tpu.data import DepDataModule
 from vlgae_tpu.training import Pipeline, build_model
 
+pytestmark = pytest.mark.slow  # heavyweight e2e/pipeline runs (see pytest.ini addopts)
+
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):

@@ -10,6 +10,8 @@ import pytest
 
 import synth_data
 
+pytestmark = pytest.mark.slow  # heavyweight e2e/pipeline runs (see pytest.ini addopts)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -96,6 +96,7 @@ def test_ldndmv_shapes(ldndmv_scores):
     np.testing.assert_allclose(np.exp(scores["dec"]).sum(-1), 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ldndmv_loss_and_decode(ldndmv_scores):
     _, _, inputs, scores = ldndmv_scores
     total, aux = loss_nll(scores, inputs["seq_len"], viterbi=True)
@@ -110,6 +111,7 @@ def test_ldndmv_loss_and_decode(ldndmv_scores):
         assert istree(list(heads_mbr[b, :n]), proj=True)
 
 
+@pytest.mark.slow
 def test_ldndmv_grads_flow(ldndmv_scores):
     model, params, inputs, _ = ldndmv_scores
 
@@ -146,6 +148,7 @@ def test_init_rule_loss(ldndmv_scores):
     assert np.isfinite(float(total))
 
 
+@pytest.mark.slow
 def test_classic_dmv_em_improves_likelihood():
     rng = np.random.default_rng(1)
     B, L = 16, 5
@@ -203,6 +206,7 @@ def joint_setup():
     return model, params, inputs, out
 
 
+@pytest.mark.slow
 def test_joint_forward_shapes(joint_setup):
     model, params, inputs, out = joint_setup
     B, L = inputs["token"].shape
@@ -213,6 +217,7 @@ def test_joint_forward_shapes(joint_setup):
     assert out["merged_attach"].shape == (B, L + 1, L + 1, 2)
 
 
+@pytest.mark.slow
 def test_joint_loss_and_grads(joint_setup):
     model, params, inputs, out = joint_setup
 
@@ -232,6 +237,7 @@ def test_joint_loss_and_grads(joint_setup):
     )
 
 
+@pytest.mark.slow
 def test_joint_decode_grounding(joint_setup):
     model, params, inputs, out = joint_setup
     dec = model.apply(
@@ -258,6 +264,7 @@ def test_joint_decode_grounding(joint_setup):
                 assert name in ("obj", "rel", "attr", "img")
 
 
+@pytest.mark.slow
 def test_joint_alldep_lang_factors():
     """word+alldep (train only): Q = (L+1) + (L+1)^2 arc queries, loss
     finite, grads flow; eval falls back to the Viterbi-tree factors."""
@@ -302,6 +309,7 @@ def test_joint_alldep_lang_factors():
     assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_vit_patch_encoder_joint():
     """CLIP/ViT-swap stretch config: patch-grid visual factors drive the
     full joint model; frozen ViT gets zero gradients."""
@@ -366,6 +374,7 @@ def test_vit_patch_encoder_joint():
     assert head_norm > 0.0       # factor head trains
 
 
+@pytest.mark.slow
 def test_joint_reduced_gather_cap_img_loss():
     """Alternative strategy branches (ref: joint.py:421-432, 493-499):
     gather_logit='reduced' yields a [B_txt, B_img] caption-image logit and
@@ -408,6 +417,7 @@ def test_joint_reduced_gather_cap_img_loss():
     assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_joint_fuse_none(joint_setup):
     """feat_fuse_mode='none' skips the attention augmentation but keeps
     the matching stack (ref: joint.py:346-349)."""
@@ -467,6 +477,7 @@ def test_rnn_encoder_cat_emb_and_init_versions():
         bad.init(jax.random.key(0), emb, mask)
 
 
+@pytest.mark.slow
 def test_joint_on_img_decode():
     """decode_grounding_mode='on_img' returns per-caption best image and
     no factor alignment (ref: joint.py:506-510)."""
@@ -508,6 +519,7 @@ def test_joint_config_rejects_unknown_strategies():
         DependencyBoxRelConfig(gather_logit_mode="reduced")  # needs on_img
 
 
+@pytest.mark.slow
 def test_reduced_training_matching_matches_full_attmap():
     """The training path's reduced matching (mask-folded bf16/f32 maxes +
     recomputed penalized diagonal; never materializes [B,B,Q,V]) must

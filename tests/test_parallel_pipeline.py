@@ -21,6 +21,8 @@ from vlgae_tpu.data import DepDataModule
 from vlgae_tpu.parallel import pad_batch_to_devices, shard_batch
 from vlgae_tpu.training import Pipeline, build_model
 
+pytestmark = pytest.mark.slow  # heavyweight e2e/pipeline runs (see pytest.ini addopts)
+
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):

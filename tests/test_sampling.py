@@ -14,6 +14,7 @@ import oracles
 from test_struct_dmv import merged_batch, random_potentials
 
 
+@pytest.mark.slow
 def test_deptree_samples_are_valid_trees():
     rng = np.random.default_rng(0)
     n = 4
@@ -31,6 +32,7 @@ def test_deptree_samples_are_valid_trees():
             assert istree(list(heads), proj=True)
 
 
+@pytest.mark.slow
 def test_deptree_sample_distribution_matches_marginals():
     rng = np.random.default_rng(1)
     n = 3
@@ -89,6 +91,7 @@ def test_sparsemax_dp_runs():
     assert np.isfinite(float(SparseMaxSemiring.unconvert(v)[0]))
 
 
+@pytest.mark.slow
 def test_multi_sample_costs_one_inside_pass():
     """16 packed samples must cost ~one inside pass, not 16
     (ref: sample.py:102-160 bit packing)."""

@@ -166,6 +166,7 @@ def test_kmax_top_scores():
     np.testing.assert_allclose(got, scores[:k], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_topk_structures():
     n = 3
     rng = np.random.default_rng(6)
@@ -182,6 +183,7 @@ def test_topk_structures():
         np.testing.assert_array_equal(heads, trees[order[i]])
 
 
+@pytest.mark.slow
 def test_remat_matches():
     rng = np.random.default_rng(9)
     dec, attach, root = random_potentials(rng, 4)

@@ -51,6 +51,7 @@ def test_subword_pooling_shapes():
     assert h.shape == (2, 5, 16)
 
 
+@pytest.mark.slow
 def test_frozen_bert_stops_gradient():
     rng = np.random.default_rng(1)
     emb = make_emb()
@@ -71,6 +72,7 @@ def test_frozen_bert_stops_gradient():
     assert bert_norm == 0.0  # requires_grad=False -> stop_gradient
 
 
+@pytest.mark.slow
 def test_stride_windows_match_direct():
     """Windowed encoding must equal direct encoding when the model's
     position limit is large enough (same per-token values for the

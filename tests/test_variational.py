@@ -15,6 +15,7 @@ from vlgae_tpu.models import (
 from vlgae_tpu.models.embedding import EmbeddingItemCfg
 
 from test_models import N_TAG, N_TOKEN, N_WORD, make_inputs
+import pytest
 
 
 def build(variational_mode, emb_mode="basic"):
@@ -55,6 +56,7 @@ def _run(model, train=True):
     return params, inputs, out, total, aux
 
 
+@pytest.mark.slow
 def test_sentence_vae():
     model = build("all:vae")
     params, inputs, out, total, aux = _run(model)
@@ -73,6 +75,7 @@ def test_sentence_vae():
                                np.asarray(o4["attach"]))
 
 
+@pytest.mark.slow
 def test_sentence_ib_with_tag_context():
     model = build("tag:ib")
     params, inputs, out, total, aux = _run(model)
