@@ -106,3 +106,80 @@ def test_pallas_v2_outside_matches_scan(batch):
                                    rtol=1e-3, atol=1e-5)
     finally:
         dp.USE_V2_OUTSIDE = old
+
+
+@pytest.fixture(scope="module")
+def big_batch():
+    """Lengths large enough for the v3 chunked inside gate (n1 >= 10)."""
+    rng = np.random.default_rng(7)
+    params = [random_potentials(rng, n) for n in (12, 9, 14, 11, 13, 10, 12, 14)]
+    return merged_batch(params)
+
+
+def test_pallas_v3_inside_matches_scan(big_batch):
+    """The chunked streaming (v3) inside fill: values and VJP parity at
+    lengths where its gate engages (the small-`batch` fixture falls back
+    to v2)."""
+    from vlgae_tpu.ops import dmv_pallas as dp
+
+    mdec, mattach, lengths = big_batch
+    n1 = mattach.shape[1]
+    assert dp._v3_max_launch(n1, True) > 0 and dp._v3_max_launch(n1, False) > 0
+
+    want = np.asarray(dmv_partition(mdec, mattach, lengths, LogSemiring))
+    got = np.asarray(dmv_partition_pallas_interpret(mdec, mattach, lengths))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    want = np.asarray(dmv_partition(mdec, mattach, lengths, MaxSemiring))
+    got = np.asarray(dmv_max_pallas_interpret(mdec, mattach, lengths))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def total_pallas(d, a):
+        return jnp.sum(dmv_partition_pallas_interpret(d, a, lengths))
+
+    gd, ga = jax.grad(total_pallas, argnums=(0, 1))(mdec, mattach)
+    wd, wa = dmv_marginals(mdec, mattach, lengths, LogSemiring)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(wa), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), rtol=1e-3, atol=1e-5)
+
+    def total_max(d, a):
+        return jnp.sum(dmv_max_pallas_interpret(d, a, lengths))
+
+    gd, ga = jax.grad(total_max, argnums=(0, 1))(mdec, mattach)
+    wd, wa = dmv_marginals(mdec, mattach, lengths, MaxSemiring)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(wa), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), rtol=1e-3, atol=1e-5)
+
+
+def test_pallas_v4_outside_matches_scan(big_batch):
+    """The chunked dual-layout push (v4) outside kernel, gated behind
+    USE_V4_OUTSIDE: VJP parity for both semirings at v3-eligible sizes."""
+    from vlgae_tpu.ops import dmv_pallas as dp
+
+    mdec, mattach, lengths = big_batch
+    n1 = mattach.shape[1]
+    assert dp._outside_v4_max_launch(n1) > 0
+    old = dp.USE_V4_OUTSIDE
+    dp.USE_V4_OUTSIDE = True
+    try:
+        def total_pallas(d, a):
+            return jnp.sum(dmv_partition_pallas_interpret(d, a, lengths))
+
+        gd, ga = jax.grad(total_pallas, argnums=(0, 1))(mdec, mattach)
+        wd, wa = dmv_marginals(mdec, mattach, lengths, LogSemiring)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(wd),
+                                   rtol=1e-3, atol=1e-5)
+
+        def total_max(d, a):
+            return jnp.sum(dmv_max_pallas_interpret(d, a, lengths))
+
+        gd, ga = jax.grad(total_max, argnums=(0, 1))(mdec, mattach)
+        wd, wa = dmv_marginals(mdec, mattach, lengths, MaxSemiring)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(wd),
+                                   rtol=1e-3, atol=1e-5)
+    finally:
+        dp.USE_V4_OUTSIDE = old

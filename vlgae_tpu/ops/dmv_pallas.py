@@ -265,6 +265,191 @@ def _inside_fill_v2(n1, n1r, ip, is_max, attL, attR, seedR, seedL,
     return lax.fori_loop(1, n1, w_body, out0)
 
 
+TCH = 8  # chunk rows for the v3 streaming split-point reductions
+
+
+def _stream_init(shape, is_max):
+    m = jnp.full(shape, NEGINF, jnp.float32)
+    if is_max:
+        return (m,)
+    return (m, jnp.zeros(shape, jnp.float32))
+
+
+def _stream_add(carry, x, is_max):
+    """Fold a ``[TCH, ...]`` chunk into a streaming semiring reduction.
+
+    Log semiring: running-max + rescaled partial sum (one exp per chunk
+    element, one rescale per chunk). NEGINF rows contribute exp(-huge)=0,
+    so partial chunks whose tail rows sit in NEGINF-initialised padding
+    mask themselves.
+    """
+    mc = jnp.max(x, axis=0)
+    if is_max:
+        return (jnp.maximum(carry[0], mc),)
+    m, s = carry
+    nm = jnp.maximum(m, mc)
+    s = s * jnp.exp(m - nm) + jnp.sum(jnp.exp(x - nm[None]), axis=0)
+    return (nm, s)
+
+
+def _stream_fin(carry, is_max):
+    if is_max:
+        return carry[0]
+    m, s = carry
+    # log(0) -> -inf for empty reductions; clamp back to the finite
+    # NEGINF convention so no -inf/NaN escapes into later arithmetic.
+    return jnp.maximum(m + jnp.log(s), NEGINF)
+
+
+def _inside_fill_v3(n1, n1r, ip, fr, is_max, attL, attR, seedR, seedL,
+                    lengths_row, Cr, Cl, Ir, Il, ClKF, CrEF, IlHF):
+    """Chunked streaming inside fill (v3).
+
+    v2 reduces a full ``[n1, ...]`` slab per width of which only ``w``
+    rows are valid — ~6x masked waste over the whole fill. v3 walks the
+    split dimension in ``ceil(w / TCH)`` row chunks, accumulating into
+    registers with a streaming logsumexp, so per-width work is
+    proportional to ``w``. All chart buffers carry ``TCH`` extra
+    NEGINF rows (``nx = n1 + TCH`` plain rows, ``fr`` flipped rows) so
+    the final partial chunk reads in-bounds padding instead of needing
+    a mask; the same padding makes future-width rows (not yet written)
+    read as semiring zero.
+
+    Hazard note (same dual-layout scheme as v2): the width-w complete
+    updates must not see the width-w incomplete rows through their
+    chunked slab reads, so the fresh ``il_new``/``ir_new`` terms are
+    folded in-register and the ``Ir[w]`` row write is DEFERRED to after
+    the complete-span reductions (a chunk at row ``w`` would otherwise
+    read it: chunks round up past ``w - 1``).
+    """
+    nx = n1 + TCH
+
+    def plus(a, b):
+        return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
+
+    neg_chart = jnp.full((nx, 2, n1r, BT), NEGINF, jnp.float32)
+    Cr[:, :, :, :] = neg_chart
+    Cl[:, :, :, :] = neg_chart
+    Ir[:, :, :, :] = neg_chart
+    if Il is not None:
+        Il[:, :, :, :] = neg_chart
+    neg_flip = jnp.full((fr, 2, ip, BT), NEGINF, jnp.float32)
+    ClKF[:, :, :, :] = neg_flip
+    # CrEF is valence-sliced: the fill (and the v4 outside) only ever
+    # read its NOCHILD channel
+    CrEF[:, :, :, :] = neg_flip[:, :1]
+    IlHF[:, :, :, :] = neg_flip
+
+    Cr[0, :, :, :] = seedR[:]
+    Cl[0, :, :, :] = seedL[:]
+    ClKF[n1 - 1, :, pl.ds(0, n1r), :] = seedL[:]
+    CrEF[n1 - 1, 0, pl.ds(0, n1r), :] = seedR[NOCHILD]
+
+    i_iota = lax.broadcasted_iota(jnp.int32, (n1r, BT), 0)
+    lengths = lengths_row[0, :]
+    out0 = jnp.full((BT,), NEGINF, jnp.float32)
+
+    def w_body(w, out_acc):
+        valid = (i_iota < n1 - w)[None]
+
+        # ---- incomplete spans: reduce over t in [0, w) ----
+        # chunk row t pairs Cr[t] with ClKF[n1-w+t] (= Cl width w-1-t,
+        # keyed by end position, column-shifted by w); rows t >= w read
+        # NEGINF (future widths / flip padding).
+        nck = (w + TCH - 1) // TCH
+
+        def inner_chunk(c, carry):
+            sL, sR = carry
+            t0 = c * TCH
+            clk = ClKF[pl.ds(n1 - w + t0, TCH), :, pl.ds(w, n1r), :]
+            crc = Cr[pl.ds(t0, TCH), :, :, :]
+            sL = _stream_add(sL, crc[:, NOCHILD] + clk[:, HASCHILD], is_max)
+            sR = _stream_add(sR, crc[:, HASCHILD] + clk[:, NOCHILD], is_max)
+            return sL, sR
+
+        sL, sR = lax.fori_loop(
+            0, nck, inner_chunk,
+            (_stream_init((n1r, BT), is_max),
+             _stream_init((n1r, BT), is_max)),
+        )
+        inner_l = _stream_fin(sL, is_max)
+        inner_r = _stream_fin(sR, is_max)
+
+        il_new = jnp.where(valid, inner_l[None] + attL[w], NEGINF)
+        ir_new = jnp.where(valid, inner_r[None] + attR[w], NEGINF)
+        if Il is not None:
+            Il[w, :, :, :] = il_new
+        IlHF[n1 - 1 - w, :, pl.ds(w, n1r), :] = il_new
+        # Ir[w] write deferred (see hazard note).
+
+        # ---- complete spans: rest terms, chunk row r in [0, w-1) ----
+        # Cl: row r pairs IlHF[n1-w+r] (Il width w-1-r) with Cl[r+1,NC];
+        # Cr: row r pairs Ir[r+1] with CrEF[n1-w+r] (CrE width w-1-r).
+        # Row r = w-1 self-masks for Cl (IlHF[n1-1] is the never-written
+        # width-0 row) and for Cr (Ir[w] not yet written); the true
+        # fresh terms are folded in-register below.
+        nck2 = (w - 1 + TCH - 1) // TCH
+
+        def rest_chunk(c, carry):
+            sCl, sCr = carry
+            r0 = c * TCH
+            ilh = IlHF[pl.ds(n1 - w + r0, TCH), :, pl.ds(w, n1r), :]
+            clr = Cl[pl.ds(1 + r0, TCH), NOCHILD, :, :]
+            sCl = _stream_add(sCl, ilh + clr[:, None], is_max)
+            cre = CrEF[pl.ds(n1 - w + r0, TCH), 0, pl.ds(w, n1r), :]
+            irr = Ir[pl.ds(1 + r0, TCH), :, :, :]
+            sCr = _stream_add(sCr, irr + cre[:, None], is_max)
+            return sCl, sCr
+
+        sCl, sCr = lax.fori_loop(
+            0, nck2, rest_chunk,
+            (_stream_init((2, n1r, BT), is_max),
+             _stream_init((2, n1r, BT), is_max)),
+        )
+        cl_rest = _stream_fin(sCl, is_max)
+        cr_rest = _stream_fin(sCr, is_max)
+        cl_new = plus(cl_rest, il_new + Cl[0, NOCHILD, :, :][None])
+        cre0 = CrEF[n1 - 1, 0, pl.ds(w, n1r), :]
+        cr_new = plus(cr_rest, ir_new + cre0[None])
+
+        root_keep = (i_iota != 0) | (lengths[None, :] == w)
+        cr_new = jnp.where(valid & root_keep[None], cr_new, NEGINF)
+        cl_new = jnp.where(valid, cl_new, NEGINF)
+        Ir[w, :, :, :] = ir_new
+        Cr[w, :, :, :] = cr_new
+        Cl[w, :, :, :] = cl_new
+        ClKF[n1 - 1 - w, :, pl.ds(w, n1r), :] = cl_new
+        CrEF[n1 - 1 - w, 0, pl.ds(w, n1r), :] = cr_new[NOCHILD]
+
+        out_acc = jnp.where(lengths == w, cr_new[NOCHILD, 0, :], out_acc)
+        return out_acc
+
+    return lax.fori_loop(1, n1, w_body, out0)
+
+
+def _inside_kernel_v3(n1, n1r, ip, fr, is_max,
+                      attL_ref, attR_ref, seedR_ref, seedL_ref, len_ref,
+                      out_ref, Cr, Cl, Ir, ClKF, CrEF, IlHF):
+    out_ref[0, :] = _inside_fill_v3(
+        n1, n1r, ip, fr, is_max, attL_ref, attR_ref, seedR_ref, seedL_ref,
+        len_ref, Cr, Cl, Ir, None, ClKF, CrEF, IlHF,
+    )
+
+
+def _inside_kernel_v3_save(n1, n1r, ip, fr, is_max,
+                           attL_ref, attR_ref, seedR_ref, seedL_ref,
+                           len_ref, out_ref, outCr, outCl, outIr, outIl,
+                           ClKF, CrEF, IlHF):
+    """Save variant: the row-padded charts AND the three flipped
+    end-indexed layouts are output refs — the v4 outside consumes the
+    flips directly (they are exactly the E-layouts its chunked pushes
+    need), so the backward requires no XLA-side re-staging at all."""
+    out_ref[0, :] = _inside_fill_v3(
+        n1, n1r, ip, fr, is_max, attL_ref, attR_ref, seedR_ref, seedL_ref,
+        len_ref, outCr, outCl, outIr, outIl, ClKF, CrEF, IlHF,
+    )
+
+
 def _inside_kernel_v2(n1, n1r, ip, is_max,
                       attL_ref, attR_ref, seedR_ref, seedL_ref, len_ref,
                       out_ref, Cr, Cl, Ir, ClKF, CrEF, IlHF):
@@ -608,6 +793,125 @@ def _v2_max_launch(n1: int, save: bool) -> int:
     return 0
 
 
+# Chunked streaming inside kernel (v3): preferred over v2.
+USE_V3_INSIDE = True
+
+
+def _v3_vmem_bytes(n1: int, save: bool, grid: int) -> int:
+    """Per-launch VMEM estimate for the v3 inside kernel (row-padded
+    charts nx = n1 + TCH; flip buffers fr rows instead of v2's 2*n1)."""
+    n1r = _round8(n1)
+    ip = _round8(n1 - 1 + n1r)
+    nx = n1 + TCH
+    fr = _round8(n1 + TCH)
+    chart = nx * 2 * n1r * BT * 4
+    flips = 5 * fr * ip * BT * 4  # ClKF + IlHF (2 valences) + CrEF (NC)
+    att = 2 * (n1 * 2 * n1r * BT * 4)
+    seeds_rows = 2 * (2 * n1r * BT * 4) + 2 * BT * 4
+    buf = 2 if grid > 1 else 1
+    blocks = att + seeds_rows
+    if save:
+        # charts AND flips are out blocks (flips feed the v4 outside)
+        blocks += 4 * chart + flips + BT * 4
+        scratch = 0
+    else:
+        blocks += BT * 4
+        scratch = flips + 3 * chart
+    return buf * blocks + scratch
+
+
+def _v3_max_launch(n1: int, save: bool) -> int:
+    if n1 < 2 + TCH:  # tiny charts: padding rows would dominate; use v2
+        return 0
+    if _v3_vmem_bytes(n1, save, grid=2) <= _V2_BUDGET:
+        return _MAX_LAUNCH_B
+    if _v3_vmem_bytes(n1, save, grid=1) <= _V2_BUDGET:
+        return BT
+    return 0
+
+
+def _pallas_inside_call_v3(attL, attR, seedR, seedL, lengths, *, is_max,
+                           interpret, save_charts: bool = False,
+                           save_flips: bool = False):
+    n1, _, n1r, B = attL.shape
+    ip = _round8(n1 - 1 + n1r)
+    fr = _round8(n1 + TCH)
+    nx = n1 + TCH
+    grid = (B // BT,)
+    att_spec, seed_spec, row_spec = _specs(n1, n1r)
+    flip = lambda v: pltpu.VMEM((fr, v, ip, BT), jnp.float32)
+    chart = lambda: pltpu.VMEM((nx, 2, n1r, BT), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cost = pl.CostEstimate(
+        flops=12 * n1 ** 3 * B,
+        bytes_accessed=(2 * n1 * n1 * 2 + 4 * n1 * 2 + 3) * B * 4,
+        transcendentals=0 if is_max else 2 * n1 ** 3 * B,
+    )
+    if save_charts:
+        kernel = functools.partial(_inside_kernel_v3_save, n1, n1r, ip, fr,
+                                   is_max)
+        chart_spec = pl.BlockSpec(
+            (nx, 2, n1r, BT), lambda g: (0, 0, 0, g),
+            memory_space=pltpu.VMEM,
+        )
+        flip_spec = lambda v: pl.BlockSpec(
+            (fr, v, ip, BT), lambda g: (0, 0, 0, g),
+            memory_space=pltpu.VMEM,
+        )
+        chart_shape = jax.ShapeDtypeStruct((nx, 2, n1r, B), jnp.float32)
+        flip_shape = lambda v: jax.ShapeDtypeStruct((fr, v, ip, B),
+                                                    jnp.float32)
+        if save_flips:
+            # exporting the flip layouts lets the v4 outside consume
+            # them directly — only worth the extra HBM writes when the
+            # v4 path will actually run
+            out, Cr, Cl, Ir, Il, ClKF, CrEF, IlHF = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[att_spec, att_spec, seed_spec, seed_spec,
+                          row_spec],
+                out_specs=(row_spec,) + (chart_spec,) * 4
+                + (flip_spec(2), flip_spec(1), flip_spec(2)),
+                out_shape=(jax.ShapeDtypeStruct((1, B), jnp.float32),)
+                + (chart_shape,) * 4
+                + (flip_shape(2), flip_shape(1), flip_shape(2)),
+                compiler_params=params,
+                interpret=interpret,
+                cost_estimate=cost,
+            )(attL, attR, seedR, seedL, lengths)
+            # charts keep their TCH padding rows; consumers fuse the
+            # row trim into their own staging copies (or, for the v4
+            # outside, read the padded layouts directly)
+            return out[0], (Cr, Cl, Ir, Il, ClKF, CrEF, IlHF)
+        out, Cr, Cl, Ir, Il = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[att_spec, att_spec, seed_spec, seed_spec, row_spec],
+            out_specs=(row_spec,) + (chart_spec,) * 4,
+            out_shape=(jax.ShapeDtypeStruct((1, B), jnp.float32),)
+            + (chart_shape,) * 4,
+            scratch_shapes=[flip(2), flip(1), flip(2)],
+            compiler_params=params,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(attL, attR, seedR, seedL, lengths)
+        return out[0], (Cr, Cl, Ir, Il)
+    kernel = functools.partial(_inside_kernel_v3, n1, n1r, ip, fr, is_max)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[att_spec, att_spec, seed_spec, seed_spec, row_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        scratch_shapes=[chart(), chart(), chart(),
+                        flip(2), flip(1), flip(2)],
+        compiler_params=params,
+        interpret=interpret,
+        cost_estimate=cost,
+    )(attL, attR, seedR, seedL, lengths)
+    return out[0], None
+
+
 def _pallas_inside_call_v2(attL, attR, seedR, seedL, lengths, *, is_max,
                            interpret, save_charts: bool = False):
     n1, _, n1r, B = attL.shape
@@ -668,8 +972,15 @@ def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
                         interpret, save_charts: bool = False):
     B_total = attL.shape[-1]
     n1 = attL.shape[0]
+    v3_launch = _v3_max_launch(n1, save_charts) if USE_V3_INSIDE else 0
     v2_launch = _v2_max_launch(n1, save_charts) if USE_V2_INSIDE else 0
-    launch_b = v2_launch if v2_launch else _MAX_LAUNCH_B
+    launch_b = v3_launch or v2_launch or _MAX_LAUNCH_B
+    # export the flip layouts only when the v4 outside will consume them
+    save_flips = bool(
+        save_charts and v3_launch and USE_V4_OUTSIDE
+        and _outside_v4_max_launch(n1) > 0
+    )
+    n_charts = 7 if save_flips else 4
     if B_total > launch_b:
         if save_charts:
             def one(*a):
@@ -679,17 +990,23 @@ def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
                 )
                 return (out,) + charts
 
-            out, Cr, Cl, Ir, Il = _chunked(
-                one, 5, attL, attR, seedR, seedL, lengths,
+            outs = _chunked(
+                one, 1 + n_charts, attL, attR, seedR, seedL, lengths,
                 chunk_b=launch_b,
             )
-            return out, (Cr, Cl, Ir, Il)
+            return outs[0], tuple(outs[1:])
         out = _chunked(
             lambda *a: _pallas_inside_call(*a, is_max=is_max,
                                            interpret=interpret)[0],
             1, attL, attR, seedR, seedL, lengths, chunk_b=launch_b,
         )
         return out, None
+    if v3_launch:
+        return _pallas_inside_call_v3(
+            attL, attR, seedR, seedL, lengths, is_max=is_max,
+            interpret=interpret, save_charts=save_charts,
+            save_flips=save_flips,
+        )
     if v2_launch:
         return _pallas_inside_call_v2(
             attL, attR, seedR, seedL, lengths, is_max=is_max,
@@ -999,7 +1316,8 @@ def _pallas_outside_call_v2(attL, attR, lengths, gout, logz, seeds, charts,
     cp = _outside_cp(n1)
     cp2 = _round8(n1 + n1r)
     cpe = _round8(8 + n1r)
-    Cr, Cl, Ir, Il = charts
+    # v3-saved charts carry TCH padding rows; trim to n1
+    Cr, Cl, Ir, Il = (c[:n1] for c in charts)
     seedR, seedL = seeds
     NC = NOCHILD
 
@@ -1061,17 +1379,315 @@ def _pallas_outside_call_v2(attL, attR, lengths, gout, logz, seeds, charts,
     return gattL, gattR, gseedR, gseedL
 
 
+# Chunked dual-layout push outside kernel (v4): preferred whenever the
+# forward ran the v3 inside (which exports its flipped end-indexed chart
+# layouts) and the buffers fit VMEM.
+USE_V4_OUTSIDE = False
+
+
+def _outside_kernel_v4(n1, n1r, ip, nx, is_max,
+                       attL_ref, attR_ref, len_ref, gout_ref, logz_ref,
+                       Cr, ClN, Ir, ClKF, CrEF, IlHF,
+                       seedR_ref, seedL_ref,
+                       gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
+                       OClS, OClEf, OCrS, OCrEf, OIlEf, OIrS):
+    """Chunked push-form outside pass.
+
+    The v1 push kernel walks split points one at a time (w small RMW
+    statements per width); here every push is a ``TCH``-row slab RMW.
+    The trick that makes pushes slab-uniform is keeping each adjoint in
+    the layout in which its pushes have a FIXED column shift:
+
+      * start-indexed (row = width, col = start):  OCl[t,NC,i],
+        OCr[t,:,i], OIr[t+1,:,i] — shift 0;
+      * flipped end-indexed (row = n1-1-width, col = end e = i+u):
+        OIl[u-t], OCl[u-1-t], OCr[u-1-t] — shift u, rows ascend with t.
+
+    A row's two halves merge once, when it is consumed (widths descend,
+    so all pushes have landed). Sources come from the v3 forward's
+    saved plain charts and its flipped layouts (ClKF/CrEF/IlHF) — the
+    backward needs no re-staging. Row chunks may overrun the valid
+    t-range: overrun rows either read NEGINF sources (no-op pushes) or
+    land in never-consumed padding rows (see the per-push notes).
+
+    Same-iteration hazards: a push may target the row being consumed in
+    the same iteration; where that contribution is real it is folded
+    in-register instead (push 1 is shifted to start at t=1; push 3
+    masks its t=u-1 row), so every surviving own-row push is
+    value-preserving and safe under reordering.
+    """
+
+    def plus(a, b):
+        return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
+
+    OClS[:, :, :, :] = jnp.full((nx, 1, n1r, BT), NEGINF, jnp.float32)
+    OCrS[:, :, :, :] = jnp.full((nx, 2, n1r, BT), NEGINF, jnp.float32)
+    OIrS[:, :, :, :] = jnp.full((nx, 2, n1r, BT), NEGINF, jnp.float32)
+    OClEf[:, :, :, :] = jnp.full((nx, 2, ip, BT), NEGINF, jnp.float32)
+    OCrEf[:, :, :, :] = jnp.full((nx, 1, ip, BT), NEGINF, jnp.float32)
+    OIlEf[:, :, :, :] = jnp.full((nx, 2, ip, BT), NEGINF, jnp.float32)
+
+    lengths = len_ref[0, :]
+    logz = logz_ref[0, :]
+    gout = gout_ref[0, :]
+    i_iota = lax.broadcasted_iota(jnp.int32, (n1r, BT), 0)
+    sel_nc = lax.broadcasted_iota(jnp.int32, (2, n1r, BT), 0) == NOCHILD
+
+    def grad_of(inside, outside):
+        if is_max:
+            ind = inside + outside >= logz[None, None, :] - _MAX_EPS
+            return jnp.where(ind, 1.0, 0.0) * gout[None, None, :]
+        return (
+            jnp.exp(jnp.minimum(inside + outside - logz[None, None, :], 88.0))
+            * gout[None, None, :]
+        )
+
+    def merge(u, fu):
+        """Combine the start- and end-indexed halves of OCl[u]/OCr[u]."""
+        ocl_nc = plus(OClS[u, 0, :, :],
+                      OClEf[fu, NOCHILD, pl.ds(u, n1r), :])
+        ocl_hc = OClEf[fu, HASCHILD, pl.ds(u, n1r), :]
+        chans = [None, None]
+        chans[NOCHILD] = ocl_nc
+        chans[HASCHILD] = ocl_hc
+        ocl_u = jnp.stack(chans)
+        ocr_nc = plus(OCrS[u, NOCHILD, :, :],
+                      OCrEf[fu, 0, pl.ds(u, n1r), :])
+        ocr_hc = OCrS[u, HASCHILD, :, :]
+        chans = [None, None]
+        chans[NOCHILD] = ocr_nc
+        chans[HASCHILD] = ocr_hc
+        ocr_u = jnp.stack(chans)
+        return ocl_u, ocr_u
+
+    def w_body(urev, _):
+        u = n1 - 1 - urev
+        fu = urev  # flipped row of width u
+
+        ocl_u, ocr_u = merge(u, fu)
+        # final-cell seed (O_Cr[length, 0, NC] = one) + single-root mask
+        at_final = (lengths[None, :] == u) & (i_iota == 0)
+        ocr_u = jnp.where(sel_nc & at_final[None],
+                          jnp.maximum(ocr_u, 0.0), ocr_u)
+        root_keep = (i_iota != 0) | (lengths[None, :] == u)
+        ocr_u = jnp.where(root_keep[None], ocr_u, NEGINF)
+
+        # OIl[u]/OIr[u]: E/S halves plus the same-step fresh terms
+        # (v1's t=0 push ocl_u*Cl[0,NC] and t=u-1 push ocr_u*CrE[0])
+        oil_u = plus(OIlEf[fu, :, pl.ds(u, n1r), :],
+                     ocl_u + ClN[0, 0, :, :][None])
+        cre0 = CrEF[n1 - 1, 0, pl.ds(u, n1r), :]
+        oir_u = plus(OIrS[u, :, :, :], ocr_u + cre0[None])
+
+        il_u = IlHF[fu, :, pl.ds(u, n1r), :]
+        ir_u = Ir[u, :, :, :]
+        gattL_ref[u, :, :, :] = grad_of(il_u, oil_u)
+        gattR_ref[u, :, :, :] = grad_of(ir_u, oir_u)
+
+        tl = oil_u + attL_ref[u]
+        tl = plus(tl[0], tl[1])  # [n1r, BT]
+        tr = oir_u + attR_ref[u]
+        tr = plus(tr[0], tr[1])
+
+        nck = (u + TCH - 1) // TCH
+        t_chunk = lax.broadcasted_iota(jnp.int32, (TCH, 1, 1), 0)
+
+        def push_chunk(c, _):
+            t0 = c * TCH
+            fb = fu + t0  # flipped row base: width u-t rows ascend with t
+
+            # 1. OIl[u-t, v, e=i+u] += ocl_u[v,i] * Cl[t, NC, i]
+            #    shifted to t in [1, ...): the t=0 term is the fresh
+            #    in-register fold above; overrun rows (t >= u) write
+            #    real values into flipped rows >= n1-1, never consumed.
+            clc = ClN[pl.ds(1 + t0, TCH), 0, :, :]
+            val = ocl_u[None] + clc[:, None]
+            tgt = OIlEf[pl.ds(fb + 1, TCH), :, pl.ds(u, n1r), :]
+            OIlEf[pl.ds(fb + 1, TCH), :, pl.ds(u, n1r), :] = plus(tgt, val)
+
+            # 2. OCl[t, NC, i] += sum_v ocl_u[v,i] * Il[u-t, v, i+t]
+            #    (IlHF overrun rows are NEGINF -> value-preserving)
+            ilh = IlHF[pl.ds(fb, TCH), :, pl.ds(u, n1r), :]
+            c2 = ocl_u[None] + ilh
+            c2 = plus(c2[:, 0], c2[:, 1])
+            tgt = OClS[pl.ds(t0, TCH), 0, :, :]
+            OClS[pl.ds(t0, TCH), 0, :, :] = plus(tgt, c2)
+
+            # 3. OIr[t+1, v, i] += ocr_u[v,i] * Cr[u-1-t, NC, i+1+t]
+            #    row t = u-1 is the fresh fold (cre0) -> masked here so
+            #    the own-row write stays value-preserving.
+            crn = CrEF[pl.ds(n1 - u + t0, TCH), 0, pl.ds(u, n1r), :]
+            crn = jnp.where(t0 + t_chunk == u - 1, NEGINF, crn)
+            val3 = ocr_u[None] + crn[:, None]
+            tgt = OIrS[pl.ds(1 + t0, TCH), :, :, :]
+            OIrS[pl.ds(1 + t0, TCH), :, :, :] = plus(tgt, val3)
+
+            # 4. OCr[u-1-t, NC, e=i+u] += sum_v ocr_u[v,i] * Ir[t+1, v, i]
+            irc = Ir[pl.ds(1 + t0, TCH), :, :, :]
+            c4 = ocr_u[None] + irc
+            c4 = plus(c4[:, 0], c4[:, 1])
+            tgt = OCrEf[pl.ds(n1 - u + t0, TCH), 0, pl.ds(u, n1r), :]
+            OCrEf[pl.ds(n1 - u + t0, TCH), 0, pl.ds(u, n1r), :] = \
+                plus(tgt, c4)
+
+            # 5/6. OCr[t, NC, i] += tl[i] * Cl[u-1-t, HC, i+1+t]
+            #      OCr[t, HC, i] += tr[i] * Cl[u-1-t, NC, i+1+t]
+            clk = ClKF[pl.ds(n1 - u + t0, TCH), :, pl.ds(u, n1r), :]
+            chans = [None, None]
+            chans[NOCHILD] = tl[None] + clk[:, HASCHILD]
+            chans[HASCHILD] = tr[None] + clk[:, NOCHILD]
+            val56 = jnp.stack(chans, axis=1)
+            tgt = OCrS[pl.ds(t0, TCH), :, :, :]
+            OCrS[pl.ds(t0, TCH), :, :, :] = plus(tgt, val56)
+
+            # 7. OCl[u-1-t, HC, e=i+u] += tl[i] * Cr[t, NC, i]
+            #    OCl[u-1-t, NC, e=i+u] += tr[i] * Cr[t, HC, i]
+            crc = Cr[pl.ds(t0, TCH), :, :, :]
+            chans = [None, None]
+            chans[HASCHILD] = tl[None] + crc[:, NOCHILD]
+            chans[NOCHILD] = tr[None] + crc[:, HASCHILD]
+            val7 = jnp.stack(chans, axis=1)
+            tgt = OClEf[pl.ds(n1 - u + t0, TCH), :, pl.ds(u, n1r), :]
+            OClEf[pl.ds(n1 - u + t0, TCH), :, pl.ds(u, n1r), :] = \
+                plus(tgt, val7)
+            return 0
+
+        lax.fori_loop(0, nck, push_chunk, 0)
+        return 0
+
+    lax.fori_loop(0, n1 - 1, w_body, 0)
+
+    # width-0 attach-grad rows are not real updates
+    gattL_ref[0, :, :, :] = jnp.zeros((2, n1r, BT), jnp.float32)
+    gattR_ref[0, :, :, :] = jnp.zeros((2, n1r, BT), jnp.float32)
+
+    # seed (STOP decision) gradients: merge the u = 0 adjoint rows
+    ocl_0, ocr_0 = merge(0, n1 - 1)
+    gseedR_ref[:] = grad_of(seedR_ref[:, :, :], ocr_0)
+    gseedL_ref[:] = grad_of(seedL_ref[:, :, :], ocl_0)
+
+
+def _outside_v4_vmem_bytes(n1: int) -> int:
+    n1r = _round8(n1)
+    ip = _round8(n1 - 1 + n1r)
+    nx = n1 + TCH
+    u = lambda rows, V, cols: rows * V * cols * BT * 4
+    blocks = (
+        2 * u(n1, 2, n1r)      # attL/attR
+        + u(nx, 2, n1r)        # Cr
+        + u(nx, 1, n1r)        # Cl (NC slice)
+        + u(nx, 2, n1r)        # Ir
+        + u(nx, 2, ip)         # ClKF (block rows nx of fr)
+        + u(nx, 1, ip)         # CrEF
+        + u(nx, 2, ip)         # IlHF
+        + 2 * u(n1, 2, n1r)    # gatt out
+        + 4 * u(1, 2, n1r)     # seeds in + gseeds out
+        + 3 * BT * 4
+    )
+    scratch = (u(nx, 1, n1r) + u(nx, 2, ip) + u(nx, 2, n1r)
+               + u(nx, 1, ip) + u(nx, 2, ip) + u(nx, 2, n1r))
+    return blocks + scratch
+
+
+def _outside_v4_max_launch(n1: int) -> int:
+    if n1 < 2 + TCH:
+        return 0
+    if 2 * _outside_v4_vmem_bytes(n1) <= _V2_BUDGET:
+        return _MAX_LAUNCH_B
+    if _outside_v4_vmem_bytes(n1) <= 99 * 1024 * 1024:
+        return BT
+    return 0
+
+
+def _pallas_outside_call_v4(attL, attR, lengths, gout, logz, seeds, charts,
+                            *, is_max, interpret):
+    n1, _, n1r, B = attL.shape
+    ip = _round8(n1 - 1 + n1r)
+    nx = n1 + TCH
+    Cr, Cl, Ir, _Il, ClKF, CrEF, IlHF = charts
+    ClN = Cl[:, NOCHILD:NOCHILD + 1]  # the kernel only reads Cl's NC
+    seedR, seedL = seeds
+
+    grid = (B // BT,)
+    att_spec, seed_spec, row_spec = _specs(n1, n1r)
+    cspec = lambda rows, V, cols: pl.BlockSpec(
+        (rows, V, cols, BT), lambda g: (0, 0, 0, g),
+        memory_space=pltpu.VMEM,
+    )
+    scr = lambda rows, V, cols: pltpu.VMEM((rows, V, cols, BT), jnp.float32)
+    kernel = functools.partial(_outside_kernel_v4, n1, n1r, ip, nx, is_max)
+    gattL, gattR, gseedR, gseedL = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            att_spec, att_spec, row_spec, row_spec, row_spec,
+            cspec(nx, 2, n1r),  # Cr
+            cspec(nx, 1, n1r),  # ClN
+            cspec(nx, 2, n1r),  # Ir
+            cspec(nx, 2, ip),   # ClKF (window of fr rows)
+            cspec(nx, 1, ip),   # CrEF
+            cspec(nx, 2, ip),   # IlHF
+            seed_spec, seed_spec,
+        ],
+        out_specs=(att_spec, att_spec, seed_spec, seed_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
+            jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
+        ),
+        scratch_shapes=[
+            scr(nx, 1, n1r),  # OClS
+            scr(nx, 2, ip),   # OClEf
+            scr(nx, 2, n1r),  # OCrS
+            scr(nx, 1, ip),   # OCrEf
+            scr(nx, 2, ip),   # OIlEf
+            scr(nx, 2, n1r),  # OIrS
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=108 * 1024 * 1024
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=24 * n1 ** 3 * B,
+            bytes_accessed=(8 * n1 * n1 * 2 + 8 * n1 * 2 + 4) * B * 4,
+            transcendentals=0 if is_max else 8 * n1 ** 3 * B,
+        ),
+    )(attL, attR, lengths, gout, logz,
+      Cr, ClN, Ir, ClKF, CrEF, IlHF, seedR, seedL)
+    return gattL, gattR, gseedR, gseedL
+
+
 def _pallas_outside_call(attL, attR, lengths, gout, logz, charts, *,
                          is_max, interpret, seeds=None):
     B_total = attL.shape[-1]
     n1 = attL.shape[0]
+    nc = len(charts)
+    v4_launch = (_outside_v4_max_launch(n1)
+                 if USE_V4_OUTSIDE and nc == 7 else 0)
+    if v4_launch and seeds is not None:
+        if B_total > v4_launch:
+            return _chunked(
+                lambda aL, aR, le, go, lz, sR, sL, *cs:
+                _pallas_outside_call(
+                    aL, aR, le, go, lz, cs,
+                    is_max=is_max, interpret=interpret, seeds=(sR, sL),
+                ),
+                4, attL, attR, lengths, gout, logz, *seeds, *charts,
+                chunk_b=v4_launch,
+            )
+        return _pallas_outside_call_v4(
+            attL, attR, lengths, gout, logz, seeds, charts,
+            is_max=is_max, interpret=interpret,
+        )
+    charts = charts[:4]
     v2_launch = _outside_v2_max_launch(n1) if USE_V2_OUTSIDE else 0
     if v2_launch and seeds is not None:
         if B_total > v2_launch:
             return _chunked(
-                lambda aL, aR, le, go, lz, sR, sL, c0, c1, c2, c3:
+                lambda aL, aR, le, go, lz, sR, sL, *cs:
                 _pallas_outside_call(
-                    aL, aR, le, go, lz, (c0, c1, c2, c3),
+                    aL, aR, le, go, lz, cs,
                     is_max=is_max, interpret=interpret, seeds=(sR, sL),
                 ),
                 4, attL, attR, lengths, gout, logz, *seeds, *charts,
@@ -1084,8 +1700,8 @@ def _pallas_outside_call(attL, attR, lengths, gout, logz, charts, *,
     launch_b = _outside_max_launch(n1) or _MAX_LAUNCH_B
     if B_total > launch_b:
         return _chunked(
-            lambda aL, aR, le, go, lz, c0, c1, c2, c3: _pallas_outside_call(
-                aL, aR, le, go, lz, (c0, c1, c2, c3),
+            lambda aL, aR, le, go, lz, *cs: _pallas_outside_call(
+                aL, aR, le, go, lz, cs,
                 is_max=is_max, interpret=interpret,
             ),
             4, attL, attR, lengths, gout, logz, *charts,
@@ -1094,8 +1710,10 @@ def _pallas_outside_call(attL, attR, lengths, gout, logz, charts, *,
     n1, _, n1r, B = attL.shape
     cp = _outside_cp(n1)
     # column-pad the saved charts so shifted reads are direct slices
+    # (charts from the v3 inside carry TCH extra rows — the row trim
+    # fuses into this same pad copy)
     charts = tuple(
-        jnp.pad(c, [(0, 0), (0, 0), (0, cp - n1r), (0, 0)],
+        jnp.pad(c[:n1], [(0, 0), (0, 0), (0, cp - n1r), (0, 0)],
                 constant_values=NEGINF)
         for c in charts
     )
