@@ -19,3 +19,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent jit cache: most of the suite's wall-clock is XLA compiles,
+# which are identical run to run. Second runs of the default selection
+# drop from minutes to well under two.
+import pathlib  # noqa: E402
+
+_cache = pathlib.Path(__file__).resolve().parent.parent / ".cache" / "jax"
+_cache.mkdir(parents=True, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

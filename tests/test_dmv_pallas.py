@@ -116,6 +116,7 @@ def big_batch():
     return merged_batch(params)
 
 
+@pytest.mark.slow
 def test_pallas_v3_inside_matches_scan(big_batch):
     """The chunked streaming (v3) inside fill: values and VJP parity at
     lengths where its gate engages (the small-`batch` fixture falls back

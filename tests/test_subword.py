@@ -42,6 +42,7 @@ def make_inputs(rng, B, L, S):
     }
 
 
+@pytest.mark.slow
 def test_subword_pooling_shapes():
     rng = np.random.default_rng(0)
     emb = make_emb()
@@ -167,6 +168,7 @@ def test_pooling_modes_first_last_mean():
     )
 
 
+@pytest.mark.slow
 def test_reference_stride_window_scheme():
     """Window k>0 contributes its last `stride` positions; positions in
     window 0 never see tokens beyond max_len

@@ -95,6 +95,7 @@ def test_sentence_ib_with_tag_context():
     assert np.isfinite(np.asarray(tm)).all()
 
 
+@pytest.mark.slow
 def test_embedding_level_vae():
     model = build("none", emb_mode="vae")
     params, inputs, out, total, aux = _run(model)

@@ -803,7 +803,7 @@ def _v3_vmem_bytes(n1: int, save: bool, grid: int) -> int:
     n1r = _round8(n1)
     ip = _round8(n1 - 1 + n1r)
     nx = n1 + TCH
-    fr = _round8(n1 + TCH)
+    fr = n1 + TCH  # no row-tiling constraint; match v4's block rows exactly
     chart = nx * 2 * n1r * BT * 4
     flips = 5 * fr * ip * BT * 4  # ClKF + IlHF (2 valences) + CrEF (NC)
     att = 2 * (n1 * 2 * n1r * BT * 4)
@@ -835,7 +835,7 @@ def _pallas_inside_call_v3(attL, attR, seedR, seedL, lengths, *, is_max,
                            save_flips: bool = False):
     n1, _, n1r, B = attL.shape
     ip = _round8(n1 - 1 + n1r)
-    fr = _round8(n1 + TCH)
+    fr = n1 + TCH  # no row-tiling constraint; match v4's block rows exactly
     nx = n1 + TCH
     grid = (B // BT,)
     att_spec, seed_spec, row_spec = _specs(n1, n1r)
@@ -1532,24 +1532,26 @@ def _outside_kernel_v4(n1, n1r, ip, nx, is_max,
 
             # 5/6. OCr[t, NC, i] += tl[i] * Cl[u-1-t, HC, i+1+t]
             #      OCr[t, HC, i] += tr[i] * Cl[u-1-t, NC, i+1+t]
+            #      (per-valence slab RMWs: no mid-axis stack in-kernel)
             clk = ClKF[pl.ds(n1 - u + t0, TCH), :, pl.ds(u, n1r), :]
-            chans = [None, None]
-            chans[NOCHILD] = tl[None] + clk[:, HASCHILD]
-            chans[HASCHILD] = tr[None] + clk[:, NOCHILD]
-            val56 = jnp.stack(chans, axis=1)
-            tgt = OCrS[pl.ds(t0, TCH), :, :, :]
-            OCrS[pl.ds(t0, TCH), :, :, :] = plus(tgt, val56)
+            tgt = OCrS[pl.ds(t0, TCH), NOCHILD, :, :]
+            OCrS[pl.ds(t0, TCH), NOCHILD, :, :] = plus(
+                tgt, tl[None] + clk[:, HASCHILD])
+            tgt = OCrS[pl.ds(t0, TCH), HASCHILD, :, :]
+            OCrS[pl.ds(t0, TCH), HASCHILD, :, :] = plus(
+                tgt, tr[None] + clk[:, NOCHILD])
 
             # 7. OCl[u-1-t, HC, e=i+u] += tl[i] * Cr[t, NC, i]
             #    OCl[u-1-t, NC, e=i+u] += tr[i] * Cr[t, HC, i]
             crc = Cr[pl.ds(t0, TCH), :, :, :]
-            chans = [None, None]
-            chans[HASCHILD] = tl[None] + crc[:, NOCHILD]
-            chans[NOCHILD] = tr[None] + crc[:, HASCHILD]
-            val7 = jnp.stack(chans, axis=1)
-            tgt = OClEf[pl.ds(n1 - u + t0, TCH), :, pl.ds(u, n1r), :]
-            OClEf[pl.ds(n1 - u + t0, TCH), :, pl.ds(u, n1r), :] = \
-                plus(tgt, val7)
+            tgt = OClEf[pl.ds(n1 - u + t0, TCH), HASCHILD,
+                        pl.ds(u, n1r), :]
+            OClEf[pl.ds(n1 - u + t0, TCH), HASCHILD, pl.ds(u, n1r), :] = \
+                plus(tgt, tl[None] + crc[:, NOCHILD])
+            tgt = OClEf[pl.ds(n1 - u + t0, TCH), NOCHILD,
+                        pl.ds(u, n1r), :]
+            OClEf[pl.ds(n1 - u + t0, TCH), NOCHILD, pl.ds(u, n1r), :] = \
+                plus(tgt, tr[None] + crc[:, HASCHILD])
             return 0
 
         lax.fori_loop(0, nck, push_chunk, 0)
