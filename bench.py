@@ -125,7 +125,11 @@ def logaddexp_roofline():
 
         return lambda: many(a)
 
-    dt = diff_time(make_many, 64)
+    # long windows + best-of-3: the differential must dwarf the
+    # tunnel's RTT jitter (short single-shot windows have produced 12x
+    # swings in either direction), and a roofline is by definition the
+    # least-interfered measurement
+    dt = min(diff_time(make_many, 512) for _ in range(3))
     return 6.0 * CHAIN * M / dt
 
 

@@ -1379,9 +1379,15 @@ def _pallas_outside_call_v2(attL, attR, lengths, gout, logz, seeds, charts,
     return gattL, gattR, gseedR, gseedL
 
 
-# Chunked dual-layout push outside kernel (v4): preferred whenever the
-# forward ran the v3 inside (which exports its flipped end-indexed chart
-# layouts) and the buffers fit VMEM.
+# Chunked dual-layout push outside kernel (v4). Hardware verdict
+# (v5e, 2026-08-16): correct (gradients match on-device at len30) but
+# SLOWER than the v1 push outside at len30 (589K vs 814K io sent/s) —
+# the 8-row chunk working set across 7 concurrent push RMWs spills
+# vector registers — and at len64 its ~93MB estimated footprint faults
+# the worker (spill stack on top of the estimate exceeds VMEM). Kept
+# behind this flag with interpret parity tests as a tuning base; the
+# productive direction is narrowing the chunk working set (fewer live
+# pushes per chunk), not raising the VMEM limit.
 USE_V4_OUTSIDE = False
 
 
@@ -1596,7 +1602,10 @@ def _outside_v4_max_launch(n1: int) -> int:
         return 0
     if 2 * _outside_v4_vmem_bytes(n1) <= _V2_BUDGET:
         return _MAX_LAUNCH_B
-    if _outside_v4_vmem_bytes(n1) <= 99 * 1024 * 1024:
+    # single-tile launches near the VMEM ceiling faulted the v5e worker
+    # at ~93MB estimated (the compiler's spill stack comes on top), so
+    # the single-buffered fallback is capped well below it
+    if _outside_v4_vmem_bytes(n1) <= 64 * 1024 * 1024:
         return BT
     return 0
 
