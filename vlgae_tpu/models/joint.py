@@ -12,6 +12,7 @@ eval.py-visible output contract.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from bisect import bisect_left
 from itertools import accumulate
 from typing import Any, Dict, Optional, Tuple
@@ -19,6 +20,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from flax import linen as fnn
 
 from ..struct import DMV1o
@@ -33,6 +35,115 @@ REL_POS = ["IN", "VBZ", "VBG", "VBN", "TO", "VB", "RB", "RP", "VBD", "CC",
 ATTR_POS = ["DT", "JJ", "CD", "PRP$", "JJR", "JJS", "PDT"]
 
 INF = 1e9  # mask fill (ref: src/__init__.py:110 INF)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _match_maxes(vis_b, txt_b, chunk):
+    """Bidirectional max over the pairwise matching product, streamed.
+
+    Computes ``att[a, v, b, q] = vis_b[a, v, :] . txt_b[b, q, :]`` in
+    factor chunks and reduces each chunk immediately:
+      * ``run_max[a, b, q]  = max_v att``  (for the text→vision CE)
+      * ``mv[c, a, CH, b]   = max_q att``  (chunked; for vision→text)
+    The full [A, V, B, Q] product (100M+ elements at reference scale)
+    never reaches HBM. The custom VJP saves the argmax indices, so the
+    backward is gather-einsums over the winners instead of autodiff's
+    full-size one-hot scatter + re-contraction — the train-step profile
+    showed that scatter dominating the whole matching stack.
+    """
+    (m, _), (mv, _) = _match_maxes_fwd_impl(vis_b, txt_b, chunk)
+    return m, mv
+
+
+def _match_maxes_fwd_impl(vis_b, txt_b, chunk):
+    A, Vp, D2 = vis_b.shape
+    B, Q, _ = txt_b.shape
+    nc = Vp // chunk
+    dt = vis_b.dtype
+    vis_c = vis_b.reshape(A, nc, chunk, D2).transpose(1, 0, 2, 3)
+
+    def body(carry, xs):
+        m, im = carry
+        vc, c = xs
+        att = jnp.einsum("acd,bqd->acbq", vc, txt_b,
+                         preferred_element_type=dt)
+        mq = jnp.max(att, axis=1)                        # [A, B, Q]
+        iq = jnp.argmax(att, axis=1).astype(jnp.int32) + c * chunk
+        upd = mq > m
+        m = jnp.where(upd, mq, m)
+        im = jnp.where(upd, iq, im)
+        mv = jnp.max(att, axis=3)                        # [A, CH, B]
+        iv = jnp.argmax(att, axis=3).astype(jnp.int32)
+        return (m, im), (mv, iv)
+
+    init = (jnp.full((A, B, Q), jnp.asarray(-jnp.inf, dt), dt),
+            jnp.zeros((A, B, Q), jnp.int32))
+    (m, im), (mv, iv) = lax.scan(
+        body, init, (vis_c, jnp.arange(nc, dtype=jnp.int32)))
+    return (m, im), (mv, iv)
+
+
+def _match_maxes_fwd(vis_b, txt_b, chunk):
+    (m, im), (mv, iv) = _match_maxes_fwd_impl(vis_b, txt_b, chunk)
+    return (m, mv), (vis_b, txt_b, im, iv)
+
+
+def _match_maxes_bwd(chunk, res, g):
+    """Gather/one-hot backward over the saved argmax winners.
+
+    Four gradient pieces, all chunk-local so no full-size [A, V, B, Q]
+    tensor exists: (1) dtxt from the v-max via a row gather; per chunk:
+    (2) dvis from the v-max and (3) dvis, (4) dtxt from the q-max via
+    one-hot contractions sized [.., chunk, ..] (VMEM-scale)."""
+    vis_b, txt_b, im, iv = res
+    dm, dmv = g  # [A, B, Q] and [nc, A, CH, B]
+    A, Vp, D2 = vis_b.shape
+    B, Q, _ = txt_b.shape
+    dt = vis_b.dtype
+    f32 = jnp.float32
+
+    # (1) d txt[b,q,:] += sum_a dm[a,b,q] * vis_b[a, im[a,b,q], :]
+    #     gather the B*Q winner rows per image, contract over images
+    rows = jnp.take_along_axis(
+        vis_b, im.reshape(A, B * Q, 1), axis=1
+    ).reshape(A, B, Q, D2)
+    dtxt = jnp.einsum("abq,abqd->bqd", dm.astype(f32), rows.astype(f32))
+
+    # (2) d vis[a, im[a,b,q], :] += dm * txt[b,q,:] — a row scatter-add
+    #     of A*B*Q small updates (the one-hot formulation would build a
+    #     full [A,B,Q,V] tensor, defeating the streaming)
+    upd = (dm[..., None].astype(f32)
+           * txt_b[None].astype(f32))          # [A, B, Q, D2]
+    dvis = jnp.zeros((A, Vp, D2), f32)
+    dvis = dvis.at[
+        jnp.arange(A)[:, None], im.reshape(A, B * Q),
+    ].add(upd.reshape(A, B * Q, D2))
+
+    # (3)+(4): the q-max direction. Q is small, so loop over q with
+    # masked GEMMs instead of materializing any [.., V, .., Q] one-hot:
+    #   W_q[a,v,b] = dmv[a,v,b] * [iv[a,v,b] == q]
+    #   d vis[a,v,:] += sum_b W_q * txt[b,q,:]
+    #   d txt[b,q,:] += sum_{a,v} W_q * vis_b[a,v,:]
+    ivf = iv.transpose(1, 0, 2, 3).reshape(A, Vp, B)
+    dmvf = dmv.transpose(1, 0, 2, 3).reshape(A, Vp, B).astype(dt)
+
+    def q_body(q, carry):
+        dvis, dtxt = carry
+        w = jnp.where(ivf == q, dmvf, jnp.asarray(0, dt))  # [A, Vp, B]
+        t_rows = lax.dynamic_slice_in_dim(txt_b, q, 1, 1)[:, 0]  # [B, D2]
+        dvis = dvis + jnp.einsum(
+            "avb,bd->avd", w, t_rows,
+            preferred_element_type=f32)
+        dtq = jnp.einsum("avb,avd->bd", w, vis_b,
+                         preferred_element_type=f32)
+        dtxt = dtxt.at[:, q, :].add(dtq)
+        return dvis, dtxt
+
+    dvis, dtxt = lax.fori_loop(0, Q, q_body, (dvis, dtxt))
+    return dvis.astype(vis_b.dtype), dtxt.astype(txt_b.dtype)
+
+
+_match_maxes.defvjp(_match_maxes_fwd, _match_maxes_bwd)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +164,15 @@ class DependencyBoxRelConfig:
     fuse_replace: bool = False
     fuse_aug_with_matching: bool = True
     gather_logit_mode: str = "simple"  # simple | reduced
+    # factor-chunk size for the streamed training matching product
+    # (0 = single unchunked einsum). Measured on v5e at reference scale
+    # (b64/len10/36 boxes): the streamed path's forward wins (~15%) but
+    # every backward formulation tried (autodiff-through-scan, one-hot
+    # contractions, scatter-add + per-q masked GEMMs) loses to XLA's
+    # autodiff of the plain einsum — TPU scatters and strided one-hots
+    # don't pay for the avoided [B,A,Q,V] materialization at this size.
+    # Kept as a tuning knob for larger factor counts; 0 is fastest here.
+    train_match_chunk: int = 0
     loss_grounding_mode: str = "factor|ce"  # factor|ce | cap_img|ce
     loss_use_pos_prior: bool = True
     loss_vis2txt: float = 1.0
@@ -321,9 +441,34 @@ class DependencyBoxRel(fnn.Module):
             [txt_feat.astype(dt), ones_q,
              (-INF * (1.0 - txt_mask[..., None])).astype(dt)], -1
         )
-        att = jnp.einsum("avd,bqd->baqv", vis_b, txt_b)  # dt accumulation
-        logit = jnp.max(att, axis=-1).astype(jnp.float32)    # [B, A, Q]
-        logit_v = jnp.max(att, axis=-2).astype(jnp.float32)  # [B, A, V]
+        # The pairwise product is [B_img, V, B_txt, Q] with V ~ P^2
+        # visual factors — 100M+ elements at reference scale. Stream it
+        # over factor chunks in the GEMM-natural layout, max-reducing
+        # each chunk immediately: the full map never reaches HBM, and
+        # the backward rematerializes chunk products instead of saving
+        # them. (A single "avd,bqd->baqv" einsum costs ~3.5ms/step in
+        # HBM traffic + transpose at b64/len10/36 boxes; this path
+        # brings the matching stack to GEMM-bound.)
+        D2 = vis_b.shape[-1]
+        CH = self.cfg.train_match_chunk
+        if CH <= 0:
+            att = jnp.einsum("avd,bqd->baqv", vis_b, txt_b)
+            logit = jnp.max(att, axis=-1).astype(jnp.float32)
+            logit_v = jnp.max(att, axis=-2).astype(jnp.float32)
+            return logit, logit_v
+        n_chunk = max(1, -(-V // CH))
+        Vp = n_chunk * CH
+        if Vp != V:
+            # padding rows carry only the -INF visibility bias
+            pad_row = jnp.zeros((B, Vp - V, D2), dt)
+            pad_row = pad_row.at[:, :, vis_feat.shape[-1]].set(
+                jnp.asarray(-INF, dt))
+            vis_b = jnp.concatenate([vis_b, pad_row], axis=1)
+        run_max, mv_stack = _match_maxes(vis_b, txt_b, CH)
+        logit = run_max.transpose(1, 0, 2).astype(jnp.float32)  # [B, A, Q]
+        # mv_stack: [n_chunk, A, CH, B] -> [B_txt, A, V]
+        logit_v = mv_stack.transpose(3, 1, 0, 2).reshape(B, B, Vp)
+        logit_v = logit_v[:, :, :V].astype(jnp.float32)
         return logit, logit_v
 
     def _diag_att(self, out, inputs, with_pen: bool):
