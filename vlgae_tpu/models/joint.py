@@ -425,8 +425,22 @@ class DependencyBoxRel(fnn.Module):
         block (see loss_grounding_factor_ce). Semantics match
         ref: joint.py:406-499 exactly; only the evaluation/decode path
         still builds the full map (it needs per-(q, v) scores).
+
+        Relation factors are COMPACTED to the strict upper triangle
+        before the product: the pairwise-mean relation MLP gives
+        rel(i,j) == rel(j,i) and the visibility mask already zeroes the
+        lower triangle + diagonal (only i<j survives), so the dropped
+        rows are all masked duplicates — at reference scale this nearly
+        halves the factor axis (1+2P+P^2 -> 1+2P+P(P-1)/2) and with it
+        the dominant pairwise GEMM. ``logit_v`` is expanded back to the
+        full axis (-INF at dropped slots) so consumers are unchanged.
         """
-        vis_feat, vis_mask, _ = vis[:3]
+        maps = self._rel_tri_maps(vis[2])
+        vis_feat, vis_mask = vis[0], vis[1]
+        if maps is not None:
+            keep, _ = maps
+            vis_feat = vis_feat[:, keep]
+            vis_mask = vis_mask[:, keep]
         txt_feat, txt_mask, txt_marginal = txt
         dt = jnp.bfloat16 if self.cfg.bf16_matmul else jnp.float32
         B, V = vis_mask.shape
@@ -455,7 +469,7 @@ class DependencyBoxRel(fnn.Module):
             att = jnp.einsum("avd,bqd->baqv", vis_b, txt_b)
             logit = jnp.max(att, axis=-1).astype(jnp.float32)
             logit_v = jnp.max(att, axis=-2).astype(jnp.float32)
-            return logit, logit_v
+            return logit, self._expand_rel_tri(logit_v, maps)
         n_chunk = max(1, -(-V // CH))
         Vp = n_chunk * CH
         if Vp != V:
@@ -469,7 +483,38 @@ class DependencyBoxRel(fnn.Module):
         # mv_stack: [n_chunk, A, CH, B] -> [B_txt, A, V]
         logit_v = mv_stack.transpose(3, 1, 0, 2).reshape(B, B, Vp)
         logit_v = logit_v[:, :, :V].astype(jnp.float32)
-        return logit, logit_v
+        return logit, self._expand_rel_tri(logit_v, maps)
+
+    def _rel_tri_maps(self, split):
+        """Static (keep, inv) index maps that compact the relation
+        factor group to its strict upper triangle (rel(i,j)==rel(j,i)
+        and only i<j is ever unmasked); ``None`` without a rel group."""
+        names = self.vis_factor_names
+        if "rel" not in names:
+            return None
+        P = split[0]
+        starts = [0] + list(accumulate(split))
+        keep = []
+        for name, s0, w in zip(names, starts, split):
+            if name == "rel":
+                ti, tj = np.triu_indices(P, 1)
+                keep.append(s0 + ti * P + tj)
+            else:
+                keep.append(np.arange(s0, s0 + w))
+        keep = np.concatenate(keep).astype(np.int32)
+        V = int(sum(split))
+        inv = np.full(V, keep.size, np.int32)  # dropped -> sentinel col
+        inv[keep] = np.arange(keep.size, dtype=np.int32)
+        return jnp.asarray(keep), jnp.asarray(inv)
+
+    def _expand_rel_tri(self, logit_v, maps):
+        """Scatter compact-factor logits back to the full axis; dropped
+        (masked-duplicate) slots read -INF."""
+        if maps is None:
+            return logit_v
+        _, inv = maps
+        pad = jnp.full(logit_v.shape[:-1] + (1,), -INF, logit_v.dtype)
+        return jnp.concatenate([logit_v, pad], axis=-1)[..., inv]
 
     def _diag_att(self, out, inputs, with_pen: bool):
         """Own-image [B, Q, V] matching block (f32), with masks and the
