@@ -148,3 +148,17 @@ def test_eight_devices_match_single_device(corpus, tmp_path):
     # params still replicated after sharded updates
     leaf = jax.tree_util.tree_leaves(pipe8.state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_dryrun_model_parallel_mesh():
+    """The driver-facing dryrun drives the joint Pipeline on a
+    ('data', 'model') = (4, 2) mesh: batches data-sharded, the visual
+    projections tensor-parallel (asserted inside on the real param
+    shardings)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

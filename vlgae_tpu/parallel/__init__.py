@@ -8,16 +8,22 @@ gradient all-reduce automatically from the sharding annotations.
 """
 
 from .mesh import (
+    DEFAULT_MODEL_RULES,
     data_parallel_mesh,
     gather_predictions,
     make_parallel_step,
     pad_batch_to_devices,
     replicate,
     shard_batch,
+    shard_params,
     sum_across_processes,
+    tree_shardings,
 )
 
 __all__ = [
+    "DEFAULT_MODEL_RULES",
+    "shard_params",
+    "tree_shardings",
     "data_parallel_mesh",
     "shard_batch",
     "replicate",

@@ -1,8 +1,18 @@
-"""1-D data-parallel mesh: batch sharded, params replicated, psum via XLA."""
+"""Device mesh + sharding utilities.
+
+Default is 1-D data parallelism (batch sharded over 'data', params
+replicated, gradient psum inserted by XLA from the sharding
+annotations). An optional 'model' axis shards the wide visual/matching
+projections tensor-parallel (column-parallel first projections,
+row-parallel consumer; XLA derives the activation all-reduce over ICI)
+— the reference has no model parallelism (single-GPU DDP only), this is
+TPU-native scaling headroom for larger visual stacks.
+"""
 
 from __future__ import annotations
 
-from typing import Optional
+import re
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -10,9 +20,60 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def data_parallel_mesh(devices=None) -> Mesh:
+def data_parallel_mesh(devices=None, model: int = 1) -> Mesh:
+    """('data', 'model') mesh; ``model=1`` is pure data parallelism."""
     devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), ("data",))
+    n = len(devices)
+    model = max(1, int(model))
+    if n % model:
+        raise ValueError(f"{n} devices not divisible by model={model}")
+    return Mesh(np.asarray(devices).reshape(n // model, model),
+                ("data", "model"))
+
+
+# Flagship model-parallel layout: the 2048-d visual factor projections
+# are column-parallel (output features sharded), their consumer
+# (vis_mlp_pre_matching) row-parallel (input features sharded) — XLA
+# inserts the single all-reduce after it.
+DEFAULT_MODEL_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*vis_encoder/.*/kernel", P(None, "model")),
+    (r".*vis_encoder/.*bias", P("model")),
+    (r".*vis_mlp_pre_matching/kernel", P("model", None)),
+)
+
+
+def _path_name(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "name", p)))
+                    for p in path)
+
+
+def param_spec(name: str, rules: Sequence[Tuple[str, P]]) -> P:
+    for pat, spec in rules:
+        if re.fullmatch(pat, name):
+            return spec
+    return P()
+
+
+def shard_params(tree, mesh: Mesh,
+                 rules: Sequence[Tuple[str, P]] = ()):
+    """Device_put a param (or optimizer-state) tree with per-leaf
+    shardings from regex rules; unmatched leaves replicate. Optimizer
+    states mirror the param tree inside their own structure, so the
+    same rules match their `mu`/`nu` leaves too."""
+    if "model" not in mesh.axis_names or mesh.shape.get("model", 1) == 1:
+        rules = ()
+
+    def put(path, x):
+        spec = param_spec(_path_name(path), rules)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, tree)
+
+
+def tree_shardings(tree):
+    """The per-leaf shardings of an already-placed tree (for jit
+    in_shardings)."""
+    return jax.tree_util.tree_map(lambda x: x.sharding, tree)
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:

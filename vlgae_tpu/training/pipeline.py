@@ -32,12 +32,15 @@ from ..models import (
 )
 from ..models.dmv_init import generate_rule_1o
 from ..parallel import (
+    DEFAULT_MODEL_RULES,
     data_parallel_mesh,
     gather_predictions,
     pad_batch_to_devices,
     replicate,
     shard_batch,
+    shard_params,
     sum_across_processes,
+    tree_shardings,
 )
 from jax.sharding import NamedSharding, PartitionSpec
 from ..utils.fn import coeff_at, parse_coeff_schedule, reduce_loss
@@ -86,13 +89,20 @@ class Pipeline:
         )
         self.is_joint = hasattr(model, "dependency")
         self.dep_cfg = model.dep_cfg if self.is_joint else model.cfg
-        # 1-D data-parallel mesh: batches sharded over 'data', params
-        # replicated; XLA derives the gradient psum over ICI (the
+        # ('data', 'model') mesh: batches sharded over 'data', params
+        # replicated (or, with trainer.model_parallel > 1, the wide
+        # visual/matching projections sharded over 'model'); XLA derives
+        # the gradient psum / activation all-reduce over ICI (the
         # reference's DDP/NCCL equivalent, ref: src/__init__.py:93-105)
-        self.mesh = data_parallel_mesh(devices)
+        mp = int(cfg.get("trainer", {}).get("model_parallel", 1) or 1)
+        self.mesh = data_parallel_mesh(devices, model=mp)
         self.n_devices = len(self.mesh.devices.reshape(-1))
+        self._rules = DEFAULT_MODEL_RULES if mp > 1 else ()
         self._repl = NamedSharding(self.mesh, PartitionSpec())
         self._data = NamedSharding(self.mesh, PartitionSpec("data"))
+        # per-leaf param/opt shardings; filled by setup_optimizer
+        self._pshard = None
+        self._oshard = None
         self.metrics = self._build_metrics()
         self._jit_cache: Dict[Any, Callable] = {}
         self.alpha_schedule = None
@@ -164,8 +174,10 @@ class Pipeline:
         self._schedule = schedule
         self.plateau = plateau
         opt_state = tx.init(params)
-        params = replicate(params, self.mesh)
-        opt_state = replicate(opt_state, self.mesh)
+        params = shard_params(params, self.mesh, self._rules)
+        opt_state = shard_params(opt_state, self.mesh, self._rules)
+        self._pshard = tree_shardings(params)
+        self._oshard = tree_shardings(opt_state)
         self.state = TrainState(params, opt_state, 0, 0, rng)
         return self.state
 
@@ -281,8 +293,12 @@ class Pipeline:
         # the gradient all-reduce (ref DDP: src/__init__.py:93-105)
         fn = jax.jit(
             step,
-            in_shardings=(self._repl, self._repl, self._data, self._data,
-                          self._repl),
+            in_shardings=(self._pshard, self._oshard, self._data,
+                          self._data, self._repl),
+            # pin outputs too: with them unspecified GSPMD is free to
+            # re-shard returned params, breaking the next call's
+            # in_shardings match
+            out_shardings=(self._pshard, self._oshard, None, None),
             donate_argnums=(0, 1),
         )
         self._jit_cache[key] = fn
@@ -307,7 +323,9 @@ class Pipeline:
 
         fn = jax.jit(
             step,
-            in_shardings=(self._repl, self._data, self._data, self._repl),
+            in_shardings=(self._pshard, self._data, self._data,
+                          self._repl),
+            out_shardings=(None, self._pshard),
         )
         self._jit_cache[key] = fn
         return fn
@@ -324,7 +342,8 @@ class Pipeline:
 
         fn = jax.jit(
             step,
-            in_shardings=(self._repl, self._repl, self._repl, None),
+            in_shardings=(self._pshard, self._oshard, self._pshard, None),
+            out_shardings=(self._pshard, self._oshard),
             donate_argnums=(0, 1, 2),
         )
         self._jit_cache[key] = fn
@@ -358,7 +377,7 @@ class Pipeline:
             return result
 
         fn = jax.jit(
-            step, in_shardings=(self._repl, self._data, self._data)
+            step, in_shardings=(self._pshard, self._data, self._data)
         )
         self._jit_cache[key] = fn
         return fn
@@ -657,10 +676,11 @@ class Pipeline:
                 "rng": np.asarray(jax.random.key_data(self.state.rng)),
             }
             restored = ckptr.restore(path, target=target)
-            self.state.params = replicate(restored["params"], self.mesh)
+            self.state.params = shard_params(
+                restored["params"], self.mesh, self._rules)
             if load_training_state:
-                self.state.opt_state = replicate(
-                    restored["opt_state"], self.mesh
+                self.state.opt_state = shard_params(
+                    restored["opt_state"], self.mesh, self._rules
                 )
                 self.state.rng = jax.random.wrap_key_data(
                     jnp.asarray(restored["rng"])
@@ -668,7 +688,8 @@ class Pipeline:
         else:
             target = host(self.state.params)
             restored = ckptr.restore(path, target=target)
-            self.state.params = replicate(restored, self.mesh)
+            self.state.params = shard_params(restored, self.mesh,
+                                             self._rules)
 
         if load_training_state and meta:
             self.state.step = int(meta.get("step", 0))
