@@ -193,7 +193,9 @@ def main():
     rows.append(("visual encoder MLPs alone (2048-d, fwd+bwd)", dt_vis))
 
     # B^2-pair attmap + grounding CE alone on fixed features
-    A = P + P * P + P + 1
+    # factor count matches the production training path: relations are
+    # deduped to the strict upper triangle (rel(i,j) == rel(j,i))
+    A = P + P * (P - 1) // 2 + P + 1
     Q = 2 * (L + 1)
     vis_feat = jnp.asarray(rng.standard_normal((B, A, 128)), jnp.float32)
     txt_feat = jnp.asarray(rng.standard_normal((B, Q, 128)), jnp.float32)

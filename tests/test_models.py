@@ -656,3 +656,66 @@ def test_match_maxes_custom_vjp_exact():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dtxt), want_dtxt,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_streamed_matching_model_path():
+    """The gated train_match_chunk > 0 path (streamed product + argmax
+    VJP) produces the same loss as the default path through the full
+    model, and finite grads."""
+    rng = np.random.default_rng(11)
+    emb = CompositeEmbedding(
+        items=(
+            EmbeddingItemCfg("word_embedding", "word", "static",
+                             n_vocab=N_WORD, embedding_dim=16),
+            EmbeddingItemCfg("tag_embedding", "tag", "static",
+                             n_vocab=N_TAG, embedding_dim=8),
+        ),
+    )
+    dep_cfg = LDNDMVConfig(
+        context_mode="mean", hidden_size=24, attach_rank=4, dec_rank=4,
+        root_rank=4, root_emb_dim=6, dec_emb_dim=6, n_token=N_TOKEN,
+        n_tag=N_TAG, ff_dropout=0.0, mid_dropout=0.0,
+    )
+    dep = DiscriminativeNDMV(
+        cfg=dep_cfg, embedding=emb, encoder=MLPEncoder(n_hidden=24),
+        token2word=tuple(int(i % N_WORD) for i in range(N_TOKEN)),
+        token2tag=tuple(int(i % N_TAG) for i in range(N_TOKEN)),
+    )
+    vis = VisBoxRelSimpleEncoder(n_hidden=24, img_feat=True, use_attr=True,
+                                 use_img=False)
+    B, L, P = 4, 5, 4
+    inputs = make_inputs(rng, B=B, L=L)
+    inputs["vis_box_feat"] = jnp.asarray(
+        rng.standard_normal((B, P, 10)), jnp.float32
+    )
+    inputs["vis_box_mask"] = jnp.asarray(np.tile(np.arange(P) < 3, (B, 1)))
+    inputs["vis_available"] = jnp.ones(B, bool)
+
+    losses = {}
+    for chunk in (0, 8):
+        cfg = DependencyBoxRelConfig(
+            match_hidden=16, fuse_num_heads=2, fuse_dropout=0.0,
+            word_encoder_dropout=0.0, bf16_matmul=False,
+            train_match_chunk=chunk,
+        )
+        model = DependencyBoxRel(
+            cfg=cfg, dep_cfg=dep_cfg, dependency=dep, vis_encoder=vis,
+            pos_for_obj=(2,), pos_for_rel=(3,), pos_for_attr=(4,),
+        )
+        params = model.init(jax.random.key(0), inputs)
+
+        def tloss(p):
+            o = model.apply(
+                p, inputs, deterministic=False,
+                rngs={"dropout": jax.random.key(1),
+                      "sample": jax.random.key(2)},
+            )
+            t, _ = model.apply(p, o, None, inputs, jnp.zeros(()), {}, 1.0,
+                               method=model.loss)
+            return t
+
+        loss, grads = jax.value_and_grad(tloss)(params)
+        assert all(np.all(np.isfinite(l))
+                   for l in jax.tree_util.tree_leaves(grads))
+        losses[chunk] = float(loss)
+    assert losses[0] == pytest.approx(losses[8], rel=1e-5), losses
