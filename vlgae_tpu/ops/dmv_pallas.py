@@ -1381,17 +1381,21 @@ def _pallas_outside_call_v2(attL, attR, lengths, gout, logz, seeds, charts,
 
 # Chunked dual-layout push outside kernel (v4). Hardware verdict
 # (v5e, 2026-08-16): correct (gradients match on-device at len30) but
-# SLOWER than the v1 push outside at len30 (589K vs 814K io sent/s) —
-# the 8-row chunk working set across 7 concurrent push RMWs spills
-# vector registers — and at len64 its ~93MB estimated footprint faults
-# the worker (spill stack on top of the estimate exceeds VMEM). Kept
-# behind this flag with interpret parity tests as a tuning base; the
-# productive direction is narrowing the chunk working set (fewer live
-# pushes per chunk), not raising the VMEM limit.
+# SLOWER than the v1 push outside at len30 — 0.72x with 8-row chunks
+# (the working set across 7 concurrent push RMWs spills vector
+# registers), 0.82x with 4-row chunks (spills reduced, the per-chunk
+# masked/value ops and narrower slabs eat the rest) — and at len64 its
+# ~93MB estimated footprint faults the worker (spill stack on top of
+# the estimate exceeds VMEM). The v1 per-t push loop is simply
+# VPU-busy, not issue-bound (a manual unroll-2 of it also measured
+# neutral). Kept behind this flag with interpret parity tests.
 USE_V4_OUTSIDE = False
 
+# v4 push-chunk rows (<= TCH: buffers are padded for TCH overreach).
+V4_TCH = 4
 
-def _outside_kernel_v4(n1, n1r, ip, nx, is_max,
+
+def _outside_kernel_v4(n1, n1r, ip, nx, tch, is_max,
                        attL_ref, attR_ref, len_ref, gout_ref, logz_ref,
                        Cr, ClN, Ir, ClKF, CrEF, IlHF,
                        seedR_ref, seedL_ref,
@@ -1400,7 +1404,7 @@ def _outside_kernel_v4(n1, n1r, ip, nx, is_max,
     """Chunked push-form outside pass.
 
     The v1 push kernel walks split points one at a time (w small RMW
-    statements per width); here every push is a ``TCH``-row slab RMW.
+    statements per width); here every push is a ``tch``-row slab RMW.
     The trick that makes pushes slab-uniform is keeping each adjoint in
     the layout in which its pushes have a FIXED column shift:
 
@@ -1495,68 +1499,68 @@ def _outside_kernel_v4(n1, n1r, ip, nx, is_max,
         tr = oir_u + attR_ref[u]
         tr = plus(tr[0], tr[1])
 
-        nck = (u + TCH - 1) // TCH
-        t_chunk = lax.broadcasted_iota(jnp.int32, (TCH, 1, 1), 0)
+        nck = (u + tch - 1) // tch
+        t_chunk = lax.broadcasted_iota(jnp.int32, (tch, 1, 1), 0)
 
         def push_chunk(c, _):
-            t0 = c * TCH
+            t0 = c * tch
             fb = fu + t0  # flipped row base: width u-t rows ascend with t
 
             # 1. OIl[u-t, v, e=i+u] += ocl_u[v,i] * Cl[t, NC, i]
             #    shifted to t in [1, ...): the t=0 term is the fresh
             #    in-register fold above; overrun rows (t >= u) write
             #    real values into flipped rows >= n1-1, never consumed.
-            clc = ClN[pl.ds(1 + t0, TCH), 0, :, :]
+            clc = ClN[pl.ds(1 + t0, tch), 0, :, :]
             val = ocl_u[None] + clc[:, None]
-            tgt = OIlEf[pl.ds(fb + 1, TCH), :, pl.ds(u, n1r), :]
-            OIlEf[pl.ds(fb + 1, TCH), :, pl.ds(u, n1r), :] = plus(tgt, val)
+            tgt = OIlEf[pl.ds(fb + 1, tch), :, pl.ds(u, n1r), :]
+            OIlEf[pl.ds(fb + 1, tch), :, pl.ds(u, n1r), :] = plus(tgt, val)
 
             # 2. OCl[t, NC, i] += sum_v ocl_u[v,i] * Il[u-t, v, i+t]
             #    (IlHF overrun rows are NEGINF -> value-preserving)
-            ilh = IlHF[pl.ds(fb, TCH), :, pl.ds(u, n1r), :]
+            ilh = IlHF[pl.ds(fb, tch), :, pl.ds(u, n1r), :]
             c2 = ocl_u[None] + ilh
             c2 = plus(c2[:, 0], c2[:, 1])
-            tgt = OClS[pl.ds(t0, TCH), 0, :, :]
-            OClS[pl.ds(t0, TCH), 0, :, :] = plus(tgt, c2)
+            tgt = OClS[pl.ds(t0, tch), 0, :, :]
+            OClS[pl.ds(t0, tch), 0, :, :] = plus(tgt, c2)
 
             # 3. OIr[t+1, v, i] += ocr_u[v,i] * Cr[u-1-t, NC, i+1+t]
             #    row t = u-1 is the fresh fold (cre0) -> masked here so
             #    the own-row write stays value-preserving.
-            crn = CrEF[pl.ds(n1 - u + t0, TCH), 0, pl.ds(u, n1r), :]
+            crn = CrEF[pl.ds(n1 - u + t0, tch), 0, pl.ds(u, n1r), :]
             crn = jnp.where(t0 + t_chunk == u - 1, NEGINF, crn)
             val3 = ocr_u[None] + crn[:, None]
-            tgt = OIrS[pl.ds(1 + t0, TCH), :, :, :]
-            OIrS[pl.ds(1 + t0, TCH), :, :, :] = plus(tgt, val3)
+            tgt = OIrS[pl.ds(1 + t0, tch), :, :, :]
+            OIrS[pl.ds(1 + t0, tch), :, :, :] = plus(tgt, val3)
 
             # 4. OCr[u-1-t, NC, e=i+u] += sum_v ocr_u[v,i] * Ir[t+1, v, i]
-            irc = Ir[pl.ds(1 + t0, TCH), :, :, :]
+            irc = Ir[pl.ds(1 + t0, tch), :, :, :]
             c4 = ocr_u[None] + irc
             c4 = plus(c4[:, 0], c4[:, 1])
-            tgt = OCrEf[pl.ds(n1 - u + t0, TCH), 0, pl.ds(u, n1r), :]
-            OCrEf[pl.ds(n1 - u + t0, TCH), 0, pl.ds(u, n1r), :] = \
+            tgt = OCrEf[pl.ds(n1 - u + t0, tch), 0, pl.ds(u, n1r), :]
+            OCrEf[pl.ds(n1 - u + t0, tch), 0, pl.ds(u, n1r), :] = \
                 plus(tgt, c4)
 
             # 5/6. OCr[t, NC, i] += tl[i] * Cl[u-1-t, HC, i+1+t]
             #      OCr[t, HC, i] += tr[i] * Cl[u-1-t, NC, i+1+t]
             #      (per-valence slab RMWs: no mid-axis stack in-kernel)
-            clk = ClKF[pl.ds(n1 - u + t0, TCH), :, pl.ds(u, n1r), :]
-            tgt = OCrS[pl.ds(t0, TCH), NOCHILD, :, :]
-            OCrS[pl.ds(t0, TCH), NOCHILD, :, :] = plus(
+            clk = ClKF[pl.ds(n1 - u + t0, tch), :, pl.ds(u, n1r), :]
+            tgt = OCrS[pl.ds(t0, tch), NOCHILD, :, :]
+            OCrS[pl.ds(t0, tch), NOCHILD, :, :] = plus(
                 tgt, tl[None] + clk[:, HASCHILD])
-            tgt = OCrS[pl.ds(t0, TCH), HASCHILD, :, :]
-            OCrS[pl.ds(t0, TCH), HASCHILD, :, :] = plus(
+            tgt = OCrS[pl.ds(t0, tch), HASCHILD, :, :]
+            OCrS[pl.ds(t0, tch), HASCHILD, :, :] = plus(
                 tgt, tr[None] + clk[:, NOCHILD])
 
             # 7. OCl[u-1-t, HC, e=i+u] += tl[i] * Cr[t, NC, i]
             #    OCl[u-1-t, NC, e=i+u] += tr[i] * Cr[t, HC, i]
-            crc = Cr[pl.ds(t0, TCH), :, :, :]
-            tgt = OClEf[pl.ds(n1 - u + t0, TCH), HASCHILD,
+            crc = Cr[pl.ds(t0, tch), :, :, :]
+            tgt = OClEf[pl.ds(n1 - u + t0, tch), HASCHILD,
                         pl.ds(u, n1r), :]
-            OClEf[pl.ds(n1 - u + t0, TCH), HASCHILD, pl.ds(u, n1r), :] = \
+            OClEf[pl.ds(n1 - u + t0, tch), HASCHILD, pl.ds(u, n1r), :] = \
                 plus(tgt, tl[None] + crc[:, NOCHILD])
-            tgt = OClEf[pl.ds(n1 - u + t0, TCH), NOCHILD,
+            tgt = OClEf[pl.ds(n1 - u + t0, tch), NOCHILD,
                         pl.ds(u, n1r), :]
-            OClEf[pl.ds(n1 - u + t0, TCH), NOCHILD, pl.ds(u, n1r), :] = \
+            OClEf[pl.ds(n1 - u + t0, tch), NOCHILD, pl.ds(u, n1r), :] = \
                 plus(tgt, tr[None] + crc[:, HASCHILD])
             return 0
 
@@ -1626,7 +1630,8 @@ def _pallas_outside_call_v4(attL, attR, lengths, gout, logz, seeds, charts,
         memory_space=pltpu.VMEM,
     )
     scr = lambda rows, V, cols: pltpu.VMEM((rows, V, cols, BT), jnp.float32)
-    kernel = functools.partial(_outside_kernel_v4, n1, n1r, ip, nx, is_max)
+    kernel = functools.partial(_outside_kernel_v4, n1, n1r, ip, nx,
+                               V4_TCH, is_max)
     gattL, gattR, gseedR, gseedL = pl.pallas_call(
         kernel,
         grid=grid,
