@@ -455,14 +455,11 @@ class DependencyBoxRel(fnn.Module):
             [txt_feat.astype(dt), ones_q,
              (-INF * (1.0 - txt_mask[..., None])).astype(dt)], -1
         )
-        # The pairwise product is [B_img, V, B_txt, Q] with V ~ P^2
-        # visual factors — 100M+ elements at reference scale. Stream it
-        # over factor chunks in the GEMM-natural layout, max-reducing
-        # each chunk immediately: the full map never reaches HBM, and
-        # the backward rematerializes chunk products instead of saving
-        # them. (A single "avd,bqd->baqv" einsum costs ~3.5ms/step in
-        # HBM traffic + transpose at b64/len10/36 boxes; this path
-        # brings the matching stack to GEMM-bound.)
+        # Two formulations (see train_match_chunk's measured verdict):
+        # the default single einsum + maxes, which XLA's autodiff
+        # handles best at reference scale, and a factor-chunked stream
+        # (never materializes the pairwise product; argmax-routed
+        # custom VJP) kept for larger factor counts.
         D2 = vis_b.shape[-1]
         CH = self.cfg.train_match_chunk
         if CH <= 0:
