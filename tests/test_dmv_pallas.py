@@ -116,6 +116,34 @@ def big_batch():
     return merged_batch(params)
 
 
+def test_pallas_v3_inside_fast_parity():
+    """Default-selection coverage of the PRODUCTION kernel: the v3
+    chunked-streaming inside is USE_V3_INSIDE=True by default, so the
+    default (-m "not slow") run must exercise it — value + log-VJP
+    parity on a small 2-sentence batch above the v3 gate."""
+    from vlgae_tpu.ops import dmv_pallas as dp
+
+    rng = np.random.default_rng(3)
+    params = [random_potentials(rng, n) for n in (12, 10)]
+    mdec, mattach, lengths = merged_batch(params)
+    n1 = mattach.shape[1]
+    assert dp.USE_V3_INSIDE and dp._v3_max_launch(n1, True) > 0
+
+    want = np.asarray(dmv_partition(mdec, mattach, lengths, LogSemiring))
+    got = np.asarray(dmv_partition_pallas_interpret(mdec, mattach, lengths))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def total_pallas(d, a):
+        return jnp.sum(dmv_partition_pallas_interpret(d, a, lengths))
+
+    gd, ga = jax.grad(total_pallas, argnums=(0, 1))(mdec, mattach)
+    wd, wa = dmv_marginals(mdec, mattach, lengths, LogSemiring)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(wd),
+                               rtol=1e-3, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_pallas_v3_inside_matches_scan(big_batch):
     """The chunked streaming (v3) inside fill: values and VJP parity at

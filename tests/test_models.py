@@ -614,6 +614,48 @@ def test_reduced_training_matching_matches_full_attmap():
         na, nb = float(jnp.linalg.norm(a)), float(jnp.linalg.norm(b))
         assert na == pytest.approx(nb, rel=0.15, abs=1e-5), (na, nb)
 
+    # Tie-free configuration: randomize the zero-initialized arc
+    # encoder (the source of the exact tie groups — every arc factor
+    # collapses to the same vector under zero init) so the subgradient
+    # choice is unique; then the two paths must agree ELEMENTWISE,
+    # which the norm check above cannot guarantee alone.
+    rng_tf = np.random.default_rng(11)
+
+    def randomize_arc(path, x):
+        name = "/".join(str(getattr(p, "key", getattr(p, "name", p)))
+                        for p in path)
+        if "arc_encoder" in name:
+            return jnp.asarray(
+                0.1 * rng_tf.standard_normal(x.shape), x.dtype
+            )
+        return x
+
+    params_tf = jax.tree_util.tree_map_with_path(randomize_arc, params)
+    lt = model.apply(params_tf, inputs, deterministic=False,
+                     rngs={"dropout": jax.random.key(1),
+                           "sample": jax.random.key(2)})
+    assert lt.get("match_reduced") is not None
+
+    def tloss_tf(p, det):
+        o = model.apply(
+            p, inputs, deterministic=det,
+            rngs={} if det else {"dropout": jax.random.key(1),
+                                 "sample": jax.random.key(2)},
+        )
+        t, _ = model.apply(p, o, None, inputs, jnp.zeros(()), {}, 1.0,
+                           method=model.loss)
+        return t
+
+    g_t = jax.grad(lambda p: tloss_tf(p, False))(params_tf)
+    g_e = jax.grad(lambda p: tloss_tf(p, True))(params_tf)
+    flat_t = jax.tree_util.tree_leaves_with_path(g_t)
+    flat_e = jax.tree_util.tree_leaves(g_e)
+    for (path, a), b in zip(flat_t, flat_e):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=str(path),
+        )
+
 
 def test_match_maxes_custom_vjp_exact():
     """The streamed matching product's custom VJP must match the exact

@@ -125,10 +125,11 @@ def test_eight_devices_match_single_device(corpus, tmp_path):
         xp, _ = pad_batch_to_devices(x, pipe.n_devices, pow2=True)
         yp, _ = pad_batch_to_devices(y, pipe.n_devices, pow2=True)
         shape_key = tuple((k, v.shape) for k, v in sorted(xp.items()))
-        gfn = pipe._get_grad_step(shape_key, False, 0.5)
-        loss, grads = gfn(
+        gfn = pipe._get_grad_step(shape_key, False)
+        (loss, _), grads = gfn(
             pipe.state.params, shard_batch(xp, pipe.mesh),
             shard_batch(yp, pipe.mesh), jax.random.key(7),
+            jnp.float32(0.5),
         )
         pipe._probe = (float(loss), grads)
     loss8, g8 = pipe8._probe

@@ -112,11 +112,16 @@ def main(argv=None):
     max_epochs = int(trainer_cfg.get("max_epochs", 50))
     max_steps = int(trainer_cfg.get("max_steps", -1) or -1)
 
-    from vlgae_tpu.utils.logger import MetricLogger
+    from vlgae_tpu.utils.logger import MetricLogger, WandbWatcher
 
     mlog = MetricLogger(workdir, use_wandb=bool(cfg.get("wandb")),
                         project=str(cfg.get("project", "vlgae_tpu")),
-                        name=str(cfg.get("name", "run")))
+                        name=str(cfg.get("name", "run")),
+                        config=cfg)
+    if cfg.get("wandb"):
+        # gradient/param histogram watching when a wandb run is live
+        # (ref: pl_callback.py:36-69 WatchModelWithWandb)
+        pipe.watcher = WandbWatcher(**dict(cfg.get("watch_model") or {}))
     pipe.normalize_embeddings("begin")
     min_lr_stop = float(trainer_cfg.get("min_lr_stop", 0.0) or 0.0)
     val_check = float(trainer_cfg.get("val_check_interval", 1.0) or 1.0)
@@ -142,8 +147,10 @@ def main(argv=None):
             )
         if mid_epoch:
             # mid-epoch validations get their own log line so they are
-            # not lost when the epoch line reports only the final one
-            mlog.log({**{f"val/{k}": v for k, v in val.items()},
+            # not lost when the epoch line reports only the final one;
+            # the window's per-term training loss means ride along
+            mlog.log({**pipe.window_train_terms,
+                      **{f"val/{k}": v for k, v in val.items()},
                       "epoch": epoch, "mid_epoch": True},
                      step=pipe.state.step)
         pipe.plateau_step(watch)

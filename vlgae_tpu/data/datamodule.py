@@ -205,6 +205,13 @@ class DepDataModule(DataModule):
                  ignore_stop_word=False, headers=None, indexes=None,
                  use_char=False, max_word_len=20, **kw):
         assert num_lex > 0 or use_tag, "nothing to build token"
+        # when set (by the Pipeline for init_method='y' warmup epochs),
+        # collate pads per-sentence rule-count targets into y. The
+        # expensive generate_rule_1o runs ONCE per instance and is
+        # cached on it — the reference computes these once per dataset
+        # via collate padders (ref: good_init_nn.py:11-78), not per
+        # batch per epoch.
+        self.include_init_rules = False
         self.headers = headers or ["raw_word", "tag", "arc"]
         self.indexes = indexes or [1, 2, 3]
         self.use_tag = use_tag
@@ -348,6 +355,23 @@ class DepDataModule(DataModule):
                     cs = [cv[c] for c in w.lower()[: self.max_word_len]]
                     x["char"][b, i, : len(cs)] = cs
             y["arc"][b, :n] = inst["arc"]
+        if self.include_init_rules and name in ("train", "train_init"):
+            from ..models.dmv_init import generate_rule_1o
+
+            y["dec_rule"] = np.zeros((B, L, 2, 2, 2), np.float32)
+            y["attach_rule"] = np.zeros((B, L, L, 2), np.float32)
+            y["root_rule"] = np.zeros((B, L), np.float32)
+            for b, inst in enumerate(insts):
+                n = inst["seq_len"]
+                if n == 0:
+                    continue
+                rules = inst.get("_init_rules")
+                if rules is None:
+                    rules = generate_rule_1o(list(inst["arc"]))
+                    inst["_init_rules"] = rules
+                y["dec_rule"][b, :n] = rules["dec_rule"]
+                y["attach_rule"][b, :n, :n] = rules["attach_rule"]
+                y["root_rule"][b, :n] = rules["root_rule"]
         return x, y
 
 

@@ -133,28 +133,38 @@ def recovery_valences(heads):
 
 
 def good_init(token_seqs, head_seqs, n_token: int, smooth: float):
-    """Recover DMV tables from (gold-ish) trees (ref: good_init.py:34-103)."""
+    """Recover DMV tables from (gold-ish) trees (ref: good_init.py:34-103).
+
+    Bit-pinned against the reference tables (tests/golden/init_ref.npz).
+    NOTE the semantics differ from :func:`generate_rule_1o` on purpose:
+    the batch initializer counts NO GO decision for root attachments
+    (generate_rule_1o keeps good_init_nn's root-row quirk) and counts
+    EVERY root-headed child in the root table (not just the first).
+    """
     dec_counter = np.zeros((n_token, 2, 2, 2))
     trans_counter = np.zeros((n_token, n_token, 2, 2))
     root_counter = np.zeros((n_token,))
 
     for toks, heads in zip(token_seqs, head_seqs):
-        rules = generate_rule_1o(list(heads))
         toks = np.asarray(toks)
-        np.add.at(dec_counter, (toks,), rules["dec_rule"])
-        np.add.at(root_counter, (toks,), rules["root_rule"])
+        heads = np.asarray(heads, np.int64)
         n = len(toks)
-        # expand the per-pair attach counts with the direction axis
-        # (dir = RIGHT iff child right of head, ref: good_init.py:66-84)
-        pos_h = np.repeat(np.arange(n), n)
-        pos_c = np.tile(np.arange(n), n)
-        dirs = (pos_c > pos_h).astype(np.int64)  # RIGHT = 1
-        vals = rules["attach_rule"].reshape(n * n, 2)
-        np.add.at(
-            trans_counter,
-            (np.repeat(toks, n), np.tile(toks, n), dirs),
-            vals,
-        )
+        valences, head_valences = recovery_valences(list(heads))
+        child = np.arange(n)
+
+        # STOP decisions of every token, per side (ref: good_init.py:67-68)
+        np.add.at(dec_counter, (toks, LEFT, valences[:, 0], STOP), 1.0)
+        np.add.at(dec_counter, (toks, RIGHT, valences[:, 1], STOP), 1.0)
+
+        real = heads > 0
+        np.add.at(root_counter, (toks[~real],), 1.0)
+
+        h = heads[real] - 1
+        c = child[real]
+        d = (h < c).astype(np.int64)  # RIGHT = 1 (head left of child)
+        hv = head_valences[real]
+        np.add.at(dec_counter, (toks[h], d, hv, GO), 1.0)
+        np.add.at(trans_counter, (toks[h], toks[c], d, hv), 1.0)
 
     root_counter += smooth
     root_param = np.log(root_counter / root_counter.sum())

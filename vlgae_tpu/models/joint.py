@@ -476,9 +476,10 @@ class DependencyBoxRel(fnn.Module):
                 jnp.asarray(-INF, dt))
             vis_b = jnp.concatenate([vis_b, pad_row], axis=1)
         run_max, mv_stack = _match_maxes(vis_b, txt_b, CH)
+        A = vis_b.shape[0]  # vis batch (== B for paired batches)
         logit = run_max.transpose(1, 0, 2).astype(jnp.float32)  # [B, A, Q]
         # mv_stack: [n_chunk, A, CH, B] -> [B_txt, A, V]
-        logit_v = mv_stack.transpose(3, 1, 0, 2).reshape(B, B, Vp)
+        logit_v = mv_stack.transpose(3, 1, 0, 2).reshape(B, A, Vp)
         logit_v = logit_v[:, :, :V].astype(jnp.float32)
         return logit, self._expand_rel_tri(logit_v, maps)
 
@@ -710,10 +711,13 @@ class DependencyBoxRel(fnn.Module):
         loss = -jnp.einsum("bb->b", logp).mean()
         return loss, {"mt": loss}
 
-    def loss(self, out, gold, inputs, dep_loss, dep_aux, alpha=None):
+    def loss(self, out, gold, inputs, dep_loss, dep_aux, alpha=None,
+             train: bool = True):
         """Interpolated joint loss (ref: joint.py:693-711). ``alpha``
         overrides the static config (piecewise-linear schedules,
-        ref: base.py:144-164)."""
+        ref: base.py:144-164). ``train=False`` mirrors the reference's
+        eval semantics: cap_img|ce contributes 0 outside training
+        (ref: joint.py:493-496), factor|ce is computed either way."""
         cfg = self.cfg
         if alpha is None:
             alpha = cfg.grounding_interpolation
@@ -721,6 +725,8 @@ class DependencyBoxRel(fnn.Module):
             return dep_loss, dep_aux
         if cfg.loss_grounding_mode == "factor|ce":
             mt_loss, mt_aux = self.loss_grounding_factor_ce(out, inputs)
+        elif not train:
+            mt_loss, mt_aux = jnp.asarray(0.0), {}
         else:
             mt_loss, mt_aux = self.loss_grounding_cap_img(out, inputs)
         enough = (inputs["vis_available"].sum() >= 2).astype(mt_loss.dtype)

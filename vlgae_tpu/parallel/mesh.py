@@ -32,12 +32,17 @@ def data_parallel_mesh(devices=None, model: int = 1) -> Mesh:
 
 
 # Flagship model-parallel layout: the 2048-d visual factor projections
-# are column-parallel (output features sharded), their consumer
+# (the box/rel/attr/img factor heads — NOT e.g. a frozen ViT backbone
+# living under vis_encoder, whose kernels must stay replicated) are
+# column-parallel (output features sharded), their consumer
 # (vis_mlp_pre_matching) row-parallel (input features sharded) — XLA
 # inserts the single all-reduce after it.
 DEFAULT_MODEL_RULES: Tuple[Tuple[str, P], ...] = (
-    (r".*vis_encoder/.*/kernel", P(None, "model")),
-    (r".*vis_encoder/.*bias", P("model")),
+    (r".*vis_encoder.*/(box_fc|rel_fc|attr_fc|img_fc)(/[^/]+)?/kernel",
+     P(None, "model")),
+    (r".*vis_encoder.*/(box_fc|rel_fc|attr_fc|img_fc)(/[^/]+)?/bias",
+     P("model")),
+    (r".*vis_encoder.*/rel_fc_bias", P("model")),
     (r".*vis_mlp_pre_matching/kernel", P("model", None)),
 )
 

@@ -206,27 +206,29 @@ class BoxRelMatchingMetric(MetricBase):
 class MultiMetric(MetricBase):
     """Dict-of-metrics combinator, 'main' unprefixed (ref: metric.py:253-281)."""
 
-    def __init__(self, main: MetricBase, **others: MetricBase):
+    def __init__(self, main: MetricBase = None, **others: MetricBase):
         self.main = main
         self.others = others
 
+    def _all(self):
+        return ([self.main] if self.main is not None else []) + list(
+            self.others.values()
+        )
+
     def reset(self):
-        self.main.reset()
-        for m in self.others.values():
+        for m in self._all():
             m.reset()
 
     def update(self, predict, gold, mask):
-        self.main.update(predict, gold, mask)
-        for m in self.others.values():
+        for m in self._all():
             m.update(predict, gold, mask)
 
     def sync(self, reduce_fn):
-        self.main.sync(reduce_fn)
-        for m in self.others.values():
+        for m in self._all():
             m.sync(reduce_fn)
 
     def compute(self):
-        out = dict(self.main.compute())
+        out = dict(self.main.compute()) if self.main is not None else {}
         for name, m in self.others.items():
             for k, v in m.compute().items():
                 out[f"{name}/{k}"] = v

@@ -30,7 +30,6 @@ from ..models import (
     loss_init_rules,
     loss_nll,
 )
-from ..models.dmv_init import generate_rule_1o
 from ..parallel import (
     DEFAULT_MODEL_RULES,
     data_parallel_mesh,
@@ -124,12 +123,45 @@ class Pipeline:
         self.best = None
         self.watch_field = cfg.get("watch_field", "val/loss")
         self.watch_mode = cfg.get("watch_mode", "min")
+        # per-term loss means of the latest mid-epoch training window
+        self.window_train_terms: Dict[str, float] = {}
+        # optional WandbWatcher (gradient/param histograms,
+        # ref: pl_callback.py:36-69); attached by the train CLI
+        self.watcher = None
 
     # -- setup -----------------------------------------------------------
+    def _build_metric_node(self, node):
+        """Instantiate a metric from a hydra-style config node: resolve
+        ``_target_`` to a class in :mod:`.metrics` and recurse into
+        sub-metric nodes (ref: config/model/metric/attachment_box_rel.yaml
+        + src/utility/metric.py:253-281 MultiMetric). The ``main`` key's
+        scores are reported unprefixed (they carry the watch field)."""
+        from . import metrics as metrics_mod
+
+        if not isinstance(node, dict) or "_target_" not in node:
+            return None
+        cls_name = str(node["_target_"]).rsplit(".", 1)[-1]
+        cls = getattr(metrics_mod, cls_name, None)
+        if cls is None:
+            raise ValueError(f"unknown metric _target_: {node['_target_']}")
+        if cls is MultiMetric:
+            subs = {
+                k: self._build_metric_node(v)
+                for k, v in node.items()
+                if isinstance(v, dict) and "_target_" in v
+            }
+            return MultiMetric(subs.pop("main", None), **subs)
+        return cls()
+
     def _build_metrics(self):
-        metric_cfg = self.cfg.get("metric", {})
-        target = (metric_cfg or {}).get("_target_", "")
-        if "BoxRel" in target or self.is_joint:
+        """Two independent instances (dev / test) of the configured
+        metric set; falls back to the flagship defaults when no metric
+        config is given (bare-dict test harnesses)."""
+        metric_cfg = self.cfg.get("metric") or {}
+        built = self._build_metric_node(metric_cfg)
+        if built is not None:
+            return [built, self._build_metric_node(metric_cfg)]
+        if self.is_joint:
             return [
                 MultiMetric(
                     DependencyParsingMetric(),
@@ -245,7 +277,12 @@ class Pipeline:
         )
 
     def _compute_loss(self, params, inputs, gold, rng, init_phase: bool,
-                      alpha: float, train: bool):
+                      alpha, train: bool):
+        """``alpha`` is a traced device scalar, NOT a Python float baked
+        into the compiled step: scheduled coefficients change every epoch
+        (ref: base.py:144-164 treats them as runtime values) and keying
+        the jit cache on them would recompile every bucket shape every
+        epoch."""
         model = self.model
         rngs = {"dropout": rng, "sample": rng}
         out = model.apply(params, inputs, deterministic=not train,
@@ -266,17 +303,26 @@ class Pipeline:
         else:
             total, aux = dep_loss, dep_aux
         num_token = jnp.maximum(lengths.sum(), 1)
-        total = reduce_loss(total, num_token, jnp.maximum(weights.sum(), 1),
+        n_sent = jnp.maximum(weights.sum(), 1)
+        total = reduce_loss(total, num_token, n_sent,
                             self.loss_reduction_mode)
+        # per-term telemetry in the same reduction scale as the total
+        # (ref: pipeline.py:120-125 logs the loss dict every step)
+        aux = {
+            k: reduce_loss(v, num_token, n_sent, self.loss_reduction_mode)
+            for k, v in aux.items()
+        }
         return total, (aux, out)
 
     # -- steps ----------------------------------------------------------------
-    def _get_train_step(self, shape_key, init_phase: bool, alpha: float):
-        key = ("train", shape_key, init_phase, round(alpha, 6))
+    def _get_train_step(self, shape_key, init_phase: bool):
+        # keyed on shape + phase ONLY; alpha is a device operand so a
+        # scheduled grounding_interpolation never recompiles a bucket
+        key = ("train", shape_key, init_phase)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
-        def step(params, opt_state, inputs, gold, rng):
+        def step(params, opt_state, inputs, gold, rng, alpha):
             def loss_fn(p):
                 return self._compute_loss(
                     p, inputs, gold, rng, init_phase, alpha, train=True
@@ -294,7 +340,7 @@ class Pipeline:
         fn = jax.jit(
             step,
             in_shardings=(self._pshard, self._oshard, self._data,
-                          self._data, self._repl),
+                          self._data, self._repl, self._repl),
             # pin outputs too: with them unspecified GSPMD is free to
             # re-shard returned params, breaking the next call's
             # in_shardings match
@@ -304,13 +350,13 @@ class Pipeline:
         self._jit_cache[key] = fn
         return fn
 
-    def _get_grad_step(self, shape_key, init_phase: bool, alpha: float):
+    def _get_grad_step(self, shape_key, init_phase: bool):
         """Gradient-only step for accumulate_grad_batches > 1."""
-        key = ("grad", shape_key, init_phase, round(alpha, 6))
+        key = ("grad", shape_key, init_phase)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
-        def step(params, inputs, gold, rng):
+        def step(params, inputs, gold, rng, alpha):
             def loss_fn(p):
                 return self._compute_loss(
                     p, inputs, gold, rng, init_phase, alpha, train=True
@@ -319,12 +365,12 @@ class Pipeline:
             (loss, (aux, _)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
-            return loss, grads
+            return (loss, aux), grads
 
         fn = jax.jit(
             step,
             in_shardings=(self._pshard, self._data, self._data,
-                          self._repl),
+                          self._repl, self._repl),
             out_shardings=(None, self._pshard),
         )
         self._jit_cache[key] = fn
@@ -354,16 +400,29 @@ class Pipeline:
         if key in self._jit_cache:
             return self._jit_cache[key]
 
-        def step(params, inputs, gold):
+        def step(params, inputs, gold, alpha):
             out = self.model.apply(params, inputs, deterministic=True)
             lengths = inputs["seq_len"]
-            dep_loss, _ = loss_nll(
+            dep_loss, dep_aux = loss_nll(
                 out, lengths, viterbi=self.dep_cfg.viterbi_training
             )
+            # val/loss watches the FULL model objective — for the joint
+            # model the interpolated alpha*grounding + (1-alpha)*dep —
+            # exactly what the reference's validation_step computes
+            # (ref: src/pipeline.py:133-139, src/model/joint.py:693-711),
+            # so best-checkpoint selection and the plateau scheduler see
+            # the real training objective, not just the dependency NLL.
+            if self.is_joint:
+                total, _ = self.model.apply(
+                    params, out, gold, inputs, dep_loss, dep_aux, alpha,
+                    train=False, method=self.model.loss,
+                )
+            else:
+                total = dep_loss
             heads = ldndmv_decode(
                 out, lengths, mbr=self.dep_cfg.mbr_decoding
             )
-            result = {"arc": heads, "loss": dep_loss}
+            result = {"arc": heads, "loss": total}
             if self.is_joint and out.get("match_logit") is not None:
                 g = self.model.apply(
                     params, out, inputs,
@@ -377,31 +436,27 @@ class Pipeline:
             return result
 
         fn = jax.jit(
-            step, in_shardings=(self._pshard, self._data, self._data)
+            step,
+            in_shardings=(self._pshard, self._data, self._data,
+                          self._repl),
         )
         self._jit_cache[key] = fn
         return fn
 
     # -- epoch loops -------------------------------------------------------------
     def _prep_batch(self, x, y, init_phase: bool):
-        if init_phase and self.dep_cfg.init_method == "y":
-            y = dict(y)
-            arcs = np.asarray(y["arc"])
-            B, L = arcs.shape
-            dec_rule = np.zeros((B, L, 2, 2, 2), np.float32)
-            attach_rule = np.zeros((B, L, L, 2), np.float32)
-            root_rule = np.zeros((B, L), np.float32)
-            for b in range(B):
-                n = int(x["seq_len"][b])
-                if n == 0:
-                    continue
-                rules = generate_rule_1o(list(arcs[b, :n]))
-                dec_rule[b, :n] = rules["dec_rule"]
-                attach_rule[b, :n, :n] = rules["attach_rule"]
-                root_rule[b, :n] = rules["root_rule"]
-            y["dec_rule"] = dec_rule
-            y["attach_rule"] = attach_rule
-            y["root_rule"] = root_rule
+        """Rule-count targets for the init warmup come precomputed from
+        the datamodule (cached per instance, see DepDataModule.collate);
+        no per-batch host-side generation happens here anymore
+        (ref: good_init_nn.py:11-78 computes them via collate padders).
+        Kept as a hook + loud guard."""
+        if (init_phase and self.dep_cfg.init_method == "y"
+                and "dec_rule" not in y):
+            raise RuntimeError(
+                "init_method='y' warmup needs dec_rule/attach_rule/"
+                "root_rule in the batch; set dm.include_init_rules "
+                "(Pipeline.train_epoch does this for DepDataModule)"
+            )
         return x, y
 
     def train_epoch(self, epoch: int, log_every: int = 50,
@@ -418,8 +473,17 @@ class Pipeline:
         split = "train_init" if (
             init_phase and "train_init" in self.dm.datasets
         ) else "train"
-        alpha = self._alpha(epoch)
+        # ask the datamodule's collate for the (cached) warmup rule
+        # targets only during init epochs
+        self.dm.include_init_rules = (
+            init_phase and self.dep_cfg.init_method == "y"
+        )
+        alpha = jnp.asarray(self._alpha(epoch), jnp.float32)
         losses = []
+        aux_sums: Dict[str, float] = {}
+        aux_n = 0
+        win_sums: Dict[str, float] = {}
+        win_n = 0
         t0 = time.time()
         sampler_len = len(self.dm.make_sampler(split))
         val_every = (
@@ -442,6 +506,13 @@ class Pipeline:
             if fast_dev_run and i >= fast_dev_run:
                 break
             if val_every and i > 0 and i % val_every == 0:
+                # expose the mid-epoch window's per-term loss means so
+                # the mid-epoch log line carries them
+                self.window_train_terms = {
+                    f"train/{k}": v / max(win_n, 1)
+                    for k, v in win_sums.items()
+                }
+                win_sums, win_n = {}, 0
                 val_fn()
             if self._batch_normalize:
                 self.normalize_embeddings("batch")
@@ -454,15 +525,17 @@ class Pipeline:
             st.rng, sub = jax.random.split(st.rng)
             inputs = shard_batch(x, self.mesh)
             gold = shard_batch(y, self.mesh)
+            aux = None
             if accum <= 1:
-                fn = self._get_train_step(shape_key, init_phase, alpha)
+                fn = self._get_train_step(shape_key, init_phase)
                 st.params, st.opt_state, loss, aux = fn(
-                    st.params, st.opt_state, inputs, gold, sub
+                    st.params, st.opt_state, inputs, gold, sub, alpha
                 )
                 st.step += 1
             else:
-                gfn = self._get_grad_step(shape_key, init_phase, alpha)
-                loss, grads = gfn(st.params, inputs, gold, sub)
+                gfn = self._get_grad_step(shape_key, init_phase)
+                (loss, aux), grads = gfn(st.params, inputs, gold, sub,
+                                         alpha)
                 pending_grads = grads if pending_grads is None else (
                     jax.tree_util.tree_map(jnp.add, pending_grads, grads)
                 )
@@ -475,6 +548,24 @@ class Pipeline:
                     pending_grads, pending_n = None, 0
                     st.step += 1
             losses.append(float(loss))
+            if self.watcher is not None and self.watcher.should_log(st.step):
+                wgrads = None
+                if self.watcher.wants_gradients:
+                    # one extra backward every log_freq steps
+                    _, wgrads = self._get_grad_step(shape_key, init_phase)(
+                        st.params, inputs, gold, sub, alpha
+                    )
+                self.watcher.log_trees(st.step, params=st.params,
+                                       grads=wgrads)
+            if aux is not None:
+                # per-term loss telemetry (ref: pipeline.py:120-125 logs
+                # the detailed loss dict — nll / txt2vis / kl — per step)
+                for k, v in jax.device_get(aux).items():
+                    v = float(v)
+                    aux_sums[k] = aux_sums.get(k, 0.0) + v
+                    win_sums[k] = win_sums.get(k, 0.0) + v
+                aux_n += 1
+                win_n += 1
             if hasattr(bar, "set_postfix_str") and (i % log_every == 0):
                 bar.set_postfix_str(f"loss={losses[-1]:.4f}")
         if pending_grads is not None and pending_n:
@@ -482,17 +573,25 @@ class Pipeline:
                 st.params, st.opt_state, pending_grads, 1.0 / pending_n
             )
             st.step += 1
-        return {
+        stats = {
             "train/loss": float(np.mean(losses)) if losses else 0.0,
             "train/time": time.time() - t0,
             "train/init_phase": init_phase,
         }
+        for k, v in aux_sums.items():
+            stats[f"train/{k}"] = v / max(aux_n, 1)
+        return stats
 
     def evaluate(self, split: str = "dev", metric_idx: int = 0):
         metric = self.metrics[metric_idx]
         metric.reset()
         loss_sum, token_sum = 0.0, 0
         all_outputs = {}
+        # the epoch's scheduled grounding interpolation, so val/loss is
+        # the same interpolated objective training optimizes
+        alpha = jnp.asarray(
+            self._alpha(self.state.epoch if self.state else 0), jnp.float32
+        )
         for x, y in self.dm.batches(split, shuffle=False):
             xp, real = pad_batch_to_devices(x, self.n_devices, pow2=True)
             yp, _ = pad_batch_to_devices(y, self.n_devices, pow2=True)
@@ -500,7 +599,7 @@ class Pipeline:
             fn = self._get_eval_step(shape_key)
             inputs = shard_batch(xp, self.mesh)
             gold = shard_batch(yp, self.mesh)
-            res = fn(self.state.params, inputs, gold)
+            res = fn(self.state.params, inputs, gold, alpha)
             res = {k: np.asarray(v) for k, v in res.items()}
             res = {k: v[:real] if (hasattr(v, "shape") and v.ndim > 0
                                    and v.shape[0] >= real and k != "vis_split")
