@@ -1,0 +1,112 @@
+"""Fused matching-maxes Pallas kernel (interpret mode) vs numpy.
+
+Inputs are bf16-exact (quarter-integers) so the kernel's bf16 GEMM with
+f32 accumulation reproduces the f32 reference bit-for-bit and the
+argmax routing is deterministic.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vlgae_tpu.ops.match_pallas import match_maxes_pallas
+
+A, V, B, Q, D = 3, 10, 4, 5, 7
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    vis = rng.integers(-8, 9, (A, V, D)).astype(np.float32) * 0.25
+    txt = rng.integers(-8, 9, (B, Q, D)).astype(np.float32) * 0.25
+    return jnp.asarray(vis), jnp.asarray(txt)
+
+
+def _np_reference(vis, txt):
+    att = np.einsum("avd,bqd->baqv", np.asarray(vis, np.float32),
+                    np.asarray(txt, np.float32))
+    return att, att.max(-1), att.max(-2)
+
+
+def test_forward_matches_numpy():
+    vis, txt = _inputs()
+    logit, logit_v = match_maxes_pallas(vis, txt, True)
+    att, want_m, want_mv = _np_reference(vis, txt)
+    assert logit.shape == (B, A, Q)
+    assert logit_v.shape == (B, A, V)
+    np.testing.assert_allclose(np.asarray(logit), want_m, rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(logit_v), want_mv, rtol=0,
+                               atol=0)
+
+
+def test_backward_routes_one_winner():
+    vis, txt = _inputs(1)
+    rng = np.random.default_rng(9)
+    # bf16-exact cotangent weights: the backward GEMMs run in bf16 with
+    # f32 accumulation (same dtype discipline as the XLA bf16_matmul
+    # path), so exactness needs bf16-representable cotangents
+    wm = jnp.asarray(rng.integers(-8, 9, (B, A, Q)) * 0.25, jnp.float32)
+    wmv = jnp.asarray(rng.integers(-8, 9, (B, A, V)) * 0.25, jnp.float32)
+
+    def loss(v, t):
+        m, mv = match_maxes_pallas(v, t, True)
+        return jnp.sum(m * wm) + jnp.sum(mv * wmv)
+
+    val, (dvis, dtxt) = jax.value_and_grad(loss, argnums=(0, 1))(vis, txt)
+
+    att, m, mv = _np_reference(vis, txt)
+    np.testing.assert_allclose(
+        float(val), (m * np.asarray(wm)).sum() + (mv * np.asarray(wmv)).sum(),
+        rtol=1e-6)
+
+    # route cotangents to the FIRST argmax winner (torch .max semantics)
+    dm = np.asarray(wm)                # [B, A, Q]
+    dmv = np.asarray(wmv)              # [B, A, V]
+    datt = np.zeros_like(att)
+    im = att.argmax(-1)
+    for b in range(B):
+        for a in range(A):
+            for q in range(Q):
+                datt[b, a, q, im[b, a, q]] += dm[b, a, q]
+    iq = att.argmax(-2)
+    for b in range(B):
+        for a in range(A):
+            for v in range(V):
+                datt[b, a, iq[b, a, v], v] += dmv[b, a, v]
+    want_dvis = np.einsum("baqv,bqd->avd", datt, np.asarray(txt))
+    want_dtxt = np.einsum("baqv,avd->bqd", datt, np.asarray(vis))
+    np.testing.assert_allclose(np.asarray(dvis), want_dvis, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dtxt), want_dtxt, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_masked_columns_stay_below_real_scores():
+    """Masked rows/columns (the caller folds -1e9 biases into the
+    features) must not be beaten by the kernel's internal padding."""
+    vis, txt = _inputs(2)
+    INF = 1e9
+    # make every real factor score negative, and mask factor 0 + query 0
+    vis = vis - 0.0
+    vis_b = jnp.concatenate(
+        [vis * 0.25 - 2.0,
+         jnp.where(jnp.arange(V)[None, :, None] == 0, -INF, 0.0)
+         * jnp.ones((A, V, 1)),
+         jnp.ones((A, V, 1))], -1)
+    txt_b = jnp.concatenate(
+        [txt * 0.25 - 2.0, jnp.ones((B, Q, 1)),
+         jnp.where(jnp.arange(Q)[None, :, None] == 0, -INF, 0.0)
+         * jnp.ones((B, Q, 1))], -1)
+    logit, logit_v = match_maxes_pallas(vis_b, txt_b, True)
+    # reference in the kernel's own dtype: bf16 inputs, f32 accumulation
+    att = np.einsum(
+        "avd,bqd->baqv",
+        np.asarray(jnp.asarray(vis_b, jnp.bfloat16), np.float32),
+        np.asarray(jnp.asarray(txt_b, jnp.bfloat16), np.float32),
+    )
+    np.testing.assert_allclose(np.asarray(logit), att.max(-1))
+    np.testing.assert_allclose(np.asarray(logit_v), att.max(-2))
+    # masked query rows carry the -INF bias, not padding zeros
+    assert float(np.asarray(logit)[0, 0, 0]) < -1e8
+    assert float(np.asarray(logit_v)[0, 0, 0]) < -1e8

@@ -268,6 +268,32 @@ def _inside_fill_v2(n1, n1r, ip, is_max, attL, attR, seedR, seedL,
 TCH = 8  # chunk rows for the v3 streaming split-point reductions
 
 
+def _width_bands(n1, n1r, g=8):
+    """Partition widths [1, n1) into bands sharing a STATIC column count.
+
+    At width ``w`` only ``n1 - w`` start positions are valid, yet a
+    single fori_loop body must slice a static column width — so the
+    plain loop does every slab op over all ``n1r`` columns and wastes
+    >50% of the VPU work on masked positions (worst exactly at the
+    large widths that carry the most split points). Banding the width
+    loop into ``ceil(n1/g)`` phases with descending static widths
+    ``C = roundup(n1 - w_lo, g)`` makes per-width work proportional to
+    the true ``w * (n1 - w)`` profile: at n1 = 65 the dominant
+    split-point loops shrink 2.77x (sum w*C vs sum w*n1r).
+
+    Returns [(w_lo, w_hi, C)] covering widths [1, n1), C multiple of
+    ``g`` and C >= n1 - w for every w in the band.
+    """
+    bands = []
+    w = 1
+    while w < n1:
+        C = min(n1r, -(-(n1 - w) // g) * g)
+        w_hi = min(n1, n1 - C + g)
+        bands.append((w, w_hi, C))
+        w = w_hi
+    return bands
+
+
 def _stream_init(shape, is_max):
     m = jnp.full(shape, NEGINF, jnp.float32)
     if is_max:
@@ -345,86 +371,105 @@ def _inside_fill_v3(n1, n1r, ip, fr, is_max, attL, attR, seedR, seedL,
     ClKF[n1 - 1, :, pl.ds(0, n1r), :] = seedL[:]
     CrEF[n1 - 1, 0, pl.ds(0, n1r), :] = seedR[NOCHILD]
 
-    i_iota = lax.broadcasted_iota(jnp.int32, (n1r, BT), 0)
     lengths = lengths_row[0, :]
     out0 = jnp.full((BT,), NEGINF, jnp.float32)
 
-    def w_body(w, out_acc):
-        valid = (i_iota < n1 - w)[None]
+    def band_body(C):
+        """Width-loop body over a band with STATIC column count C
+        (C >= n1 - w for every width in the band; see _width_bands):
+        every slab op narrows from n1r to C columns, skipping the
+        masked-position waste. Columns >= C of the width-w rows are
+        never written and keep their NEGINF initialisation."""
+        i_iota = lax.broadcasted_iota(jnp.int32, (C, BT), 0)
 
-        # ---- incomplete spans: reduce over t in [0, w) ----
-        # chunk row t pairs Cr[t] with ClKF[n1-w+t] (= Cl width w-1-t,
-        # keyed by end position, column-shifted by w); rows t >= w read
-        # NEGINF (future widths / flip padding).
-        nck = (w + TCH - 1) // TCH
+        def w_body(w, out_acc):
+            valid = (i_iota < n1 - w)[None]
 
-        def inner_chunk(c, carry):
-            sL, sR = carry
-            t0 = c * TCH
-            clk = ClKF[pl.ds(n1 - w + t0, TCH), :, pl.ds(w, n1r), :]
-            crc = Cr[pl.ds(t0, TCH), :, :, :]
-            sL = _stream_add(sL, crc[:, NOCHILD] + clk[:, HASCHILD], is_max)
-            sR = _stream_add(sR, crc[:, HASCHILD] + clk[:, NOCHILD], is_max)
-            return sL, sR
+            # ---- incomplete spans: reduce over t in [0, w) ----
+            # chunk row t pairs Cr[t] with ClKF[n1-w+t] (= Cl width
+            # w-1-t, keyed by end position, column-shifted by w); rows
+            # t >= w read NEGINF (future widths / flip padding).
+            nck = (w + TCH - 1) // TCH
 
-        sL, sR = lax.fori_loop(
-            0, nck, inner_chunk,
-            (_stream_init((n1r, BT), is_max),
-             _stream_init((n1r, BT), is_max)),
-        )
-        inner_l = _stream_fin(sL, is_max)
-        inner_r = _stream_fin(sR, is_max)
+            def inner_chunk(c, carry):
+                sL, sR = carry
+                t0 = c * TCH
+                clk = ClKF[pl.ds(n1 - w + t0, TCH), :, pl.ds(w, C), :]
+                crc = Cr[pl.ds(t0, TCH), :, pl.ds(0, C), :]
+                sL = _stream_add(sL, crc[:, NOCHILD] + clk[:, HASCHILD],
+                                 is_max)
+                sR = _stream_add(sR, crc[:, HASCHILD] + clk[:, NOCHILD],
+                                 is_max)
+                return sL, sR
 
-        il_new = jnp.where(valid, inner_l[None] + attL[w], NEGINF)
-        ir_new = jnp.where(valid, inner_r[None] + attR[w], NEGINF)
-        if Il is not None:
-            Il[w, :, :, :] = il_new
-        IlHF[n1 - 1 - w, :, pl.ds(w, n1r), :] = il_new
-        # Ir[w] write deferred (see hazard note).
+            sL, sR = lax.fori_loop(
+                0, nck, inner_chunk,
+                (_stream_init((C, BT), is_max),
+                 _stream_init((C, BT), is_max)),
+            )
+            inner_l = _stream_fin(sL, is_max)
+            inner_r = _stream_fin(sR, is_max)
 
-        # ---- complete spans: rest terms, chunk row r in [0, w-1) ----
-        # Cl: row r pairs IlHF[n1-w+r] (Il width w-1-r) with Cl[r+1,NC];
-        # Cr: row r pairs Ir[r+1] with CrEF[n1-w+r] (CrE width w-1-r).
-        # Row r = w-1 self-masks for Cl (IlHF[n1-1] is the never-written
-        # width-0 row) and for Cr (Ir[w] not yet written); the true
-        # fresh terms are folded in-register below.
-        nck2 = (w - 1 + TCH - 1) // TCH
+            att_l = attL[w, :, pl.ds(0, C), :]
+            att_r = attR[w, :, pl.ds(0, C), :]
+            il_new = jnp.where(valid, inner_l[None] + att_l, NEGINF)
+            ir_new = jnp.where(valid, inner_r[None] + att_r, NEGINF)
+            if Il is not None:
+                Il[w, :, pl.ds(0, C), :] = il_new
+            IlHF[n1 - 1 - w, :, pl.ds(w, C), :] = il_new
+            # Ir[w] write deferred (see hazard note).
 
-        def rest_chunk(c, carry):
-            sCl, sCr = carry
-            r0 = c * TCH
-            ilh = IlHF[pl.ds(n1 - w + r0, TCH), :, pl.ds(w, n1r), :]
-            clr = Cl[pl.ds(1 + r0, TCH), NOCHILD, :, :]
-            sCl = _stream_add(sCl, ilh + clr[:, None], is_max)
-            cre = CrEF[pl.ds(n1 - w + r0, TCH), 0, pl.ds(w, n1r), :]
-            irr = Ir[pl.ds(1 + r0, TCH), :, :, :]
-            sCr = _stream_add(sCr, irr + cre[:, None], is_max)
-            return sCl, sCr
+            # ---- complete spans: rest terms, chunk row r in [0, w-1) --
+            # Cl: row r pairs IlHF[n1-w+r] (Il width w-1-r) with
+            # Cl[r+1,NC]; Cr: row r pairs Ir[r+1] with CrEF[n1-w+r]
+            # (CrE width w-1-r). Row r = w-1 self-masks for Cl
+            # (IlHF[n1-1] is the never-written width-0 row) and for Cr
+            # (Ir[w] not yet written); the true fresh terms are folded
+            # in-register below.
+            nck2 = (w - 1 + TCH - 1) // TCH
 
-        sCl, sCr = lax.fori_loop(
-            0, nck2, rest_chunk,
-            (_stream_init((2, n1r, BT), is_max),
-             _stream_init((2, n1r, BT), is_max)),
-        )
-        cl_rest = _stream_fin(sCl, is_max)
-        cr_rest = _stream_fin(sCr, is_max)
-        cl_new = plus(cl_rest, il_new + Cl[0, NOCHILD, :, :][None])
-        cre0 = CrEF[n1 - 1, 0, pl.ds(w, n1r), :]
-        cr_new = plus(cr_rest, ir_new + cre0[None])
+            def rest_chunk(c, carry):
+                sCl, sCr = carry
+                r0 = c * TCH
+                ilh = IlHF[pl.ds(n1 - w + r0, TCH), :, pl.ds(w, C), :]
+                clr = Cl[pl.ds(1 + r0, TCH), NOCHILD, pl.ds(0, C), :]
+                sCl = _stream_add(sCl, ilh + clr[:, None], is_max)
+                cre = CrEF[pl.ds(n1 - w + r0, TCH), 0, pl.ds(w, C), :]
+                irr = Ir[pl.ds(1 + r0, TCH), :, pl.ds(0, C), :]
+                sCr = _stream_add(sCr, irr + cre[:, None], is_max)
+                return sCl, sCr
 
-        root_keep = (i_iota != 0) | (lengths[None, :] == w)
-        cr_new = jnp.where(valid & root_keep[None], cr_new, NEGINF)
-        cl_new = jnp.where(valid, cl_new, NEGINF)
-        Ir[w, :, :, :] = ir_new
-        Cr[w, :, :, :] = cr_new
-        Cl[w, :, :, :] = cl_new
-        ClKF[n1 - 1 - w, :, pl.ds(w, n1r), :] = cl_new
-        CrEF[n1 - 1 - w, 0, pl.ds(w, n1r), :] = cr_new[NOCHILD]
+            sCl, sCr = lax.fori_loop(
+                0, nck2, rest_chunk,
+                (_stream_init((2, C, BT), is_max),
+                 _stream_init((2, C, BT), is_max)),
+            )
+            cl_rest = _stream_fin(sCl, is_max)
+            cr_rest = _stream_fin(sCr, is_max)
+            cl_new = plus(cl_rest,
+                          il_new + Cl[0, NOCHILD, pl.ds(0, C), :][None])
+            cre0 = CrEF[n1 - 1, 0, pl.ds(w, C), :]
+            cr_new = plus(cr_rest, ir_new + cre0[None])
 
-        out_acc = jnp.where(lengths == w, cr_new[NOCHILD, 0, :], out_acc)
-        return out_acc
+            root_keep = (i_iota != 0) | (lengths[None, :] == w)
+            cr_new = jnp.where(valid & root_keep[None], cr_new, NEGINF)
+            cl_new = jnp.where(valid, cl_new, NEGINF)
+            Ir[w, :, pl.ds(0, C), :] = ir_new
+            Cr[w, :, pl.ds(0, C), :] = cr_new
+            Cl[w, :, pl.ds(0, C), :] = cl_new
+            ClKF[n1 - 1 - w, :, pl.ds(w, C), :] = cl_new
+            CrEF[n1 - 1 - w, 0, pl.ds(w, C), :] = cr_new[NOCHILD]
 
-    return lax.fori_loop(1, n1, w_body, out0)
+            out_acc = jnp.where(lengths == w, cr_new[NOCHILD, 0, :],
+                                out_acc)
+            return out_acc
+
+        return w_body
+
+    out = out0
+    for w_lo, w_hi, C in _width_bands(n1, n1r):
+        out = lax.fori_loop(w_lo, w_hi, band_body(C), out)
+    return out
 
 
 def _inside_kernel_v3(n1, n1r, ip, fr, is_max,
@@ -533,7 +578,6 @@ def _outside_kernel(n1, n1r, cp, is_max,
     lengths = len_ref[0, :]
     logz = logz_ref[0, :]  # [BT] total (log partition or max score)
     gout = gout_ref[0, :]
-    i_iota = lax.broadcasted_iota(jnp.int32, (n1r, BT), 0)
 
     def grad_of(inside, outside):
         if is_max:
@@ -544,98 +588,115 @@ def _outside_kernel(n1, n1r, cp, is_max,
             * gout[None, None, :]
         )
 
-    def w_body(wrev, _):
-        w = n1 - 1 - wrev  # descending n1-1 .. 1
+    def band_body(C, w_hi):
+        """Width-loop body with STATIC column count C >= n1 - w (see
+        _width_bands): all split-point reads and adjoint RMWs narrow
+        from n1r to C columns. Adjoint values at invalid positions
+        (i >= n1 - w) are semiring-zero by induction — pushes into them
+        carry NEGINF — so narrowed pushes drop only no-ops, and rows
+        are consumed at exactly the C that still covers their valid
+        span."""
+        i_iota = lax.broadcasted_iota(jnp.int32, (C, BT), 0)
+        sel_nc = lax.broadcasted_iota(jnp.int32, (2, C, BT), 0) == NOCHILD
 
-        # -- final-cell init: O_Cr[length, 0, NC] = one --------------------
-        at_final = (lengths[None, :] == w) & (i_iota == 0)
-        sel_nc = lax.broadcasted_iota(jnp.int32, (2, n1r, BT), 0) == NOCHILD
-        ocr_w = OCr[w, :, pl.ds(0, n1r), :]
-        ocr_w = jnp.where(
-            sel_nc & at_final[None], jnp.maximum(ocr_w, 0.0), ocr_w
-        )
-        # The forward masks Cr[w, 0] to semiring-zero unless w == length
-        # (single-root constraint); the adjoint of a masked cell must not
-        # propagate into its inputs.
-        root_keep = (i_iota != 0) | (lengths[None, :] == w)
-        ocr_w = jnp.where(root_keep[None], ocr_w, NEGINF)
-        OCr[w, :, pl.ds(0, n1r), :] = ocr_w
-        ocl_w = OCl[w, :, pl.ds(0, n1r), :]
+        def w_body(wrev, _):
+            w = w_hi - 1 - wrev  # descending within the band
 
-        # ==== adjoints of the complete-span updates at width w ====
-        # Cl[w,i,v] = sum_t Il[w-t,i+t,v] * Cl[t,i,NC]
-        # Cr[w,i,v] = sum_t Ir[t+1,i,v] * Cr[w-1-t,i+1+t,NC]
-        def t_body2(t, _):
-            il_wt = Il[w - t, :, pl.ds(t, n1r), :]
-            cr_wt_nc = Cr[w - 1 - t, NOCHILD, pl.ds(1 + t, n1r), :]
-            cl_t = Cl[t, NOCHILD, pl.ds(0, n1r), :][None]
-            ir_t1 = Ir[t + 1, :, pl.ds(0, n1r), :]
-            # O_Il[w-t, i+t, v] ⊕= O_Cl[w,i,v] + Cl[t,i,NC]
-            OIl[w - t, :, pl.ds(t, n1r), :] = plus(
-                OIl[w - t, :, pl.ds(t, n1r), :], ocl_w + cl_t
+            # -- final-cell init: O_Cr[length, 0, NC] = one ---------------
+            at_final = (lengths[None, :] == w) & (i_iota == 0)
+            ocr_w = OCr[w, :, pl.ds(0, C), :]
+            ocr_w = jnp.where(
+                sel_nc & at_final[None], jnp.maximum(ocr_w, 0.0), ocr_w
             )
-            # O_Cl[t, i, NC] ⊕= sum_v O_Cl[w,i,v] + Il[w-t,i+t,v]
-            c2 = ocl_w + il_wt
-            c2 = plus(c2[0], c2[1])
-            OCl[t, NOCHILD, pl.ds(0, n1r), :] = plus(
-                OCl[t, NOCHILD, pl.ds(0, n1r), :], c2
-            )
-            # O_Ir[t+1, i, v] ⊕= O_Cr[w,i,v] + Cr[w-1-t,i+1+t,NC]
-            OIr[t + 1, :, pl.ds(0, n1r), :] = plus(
-                OIr[t + 1, :, pl.ds(0, n1r), :], ocr_w + cr_wt_nc[None]
-            )
-            # O_Cr[w-1-t, i+1+t, NC] ⊕= sum_v O_Cr[w,i,v] + Ir[t+1,i,v]
-            c4 = ocr_w + ir_t1
-            c4 = plus(c4[0], c4[1])
-            OCr[w - 1 - t, NOCHILD, pl.ds(1 + t, n1r), :] = plus(
-                OCr[w - 1 - t, NOCHILD, pl.ds(1 + t, n1r), :], c4
-            )
+            # The forward masks Cr[w, 0] to semiring-zero unless
+            # w == length (single-root constraint); the adjoint of a
+            # masked cell must not propagate into its inputs.
+            root_keep = (i_iota != 0) | (lengths[None, :] == w)
+            ocr_w = jnp.where(root_keep[None], ocr_w, NEGINF)
+            OCr[w, :, pl.ds(0, C), :] = ocr_w
+            ocl_w = OCl[w, :, pl.ds(0, C), :]
+
+            # ==== adjoints of the complete-span updates at width w ====
+            # Cl[w,i,v] = sum_t Il[w-t,i+t,v] * Cl[t,i,NC]
+            # Cr[w,i,v] = sum_t Ir[t+1,i,v] * Cr[w-1-t,i+1+t,NC]
+            def t_body2(t, _):
+                il_wt = Il[w - t, :, pl.ds(t, C), :]
+                cr_wt_nc = Cr[w - 1 - t, NOCHILD, pl.ds(1 + t, C), :]
+                cl_t = Cl[t, NOCHILD, pl.ds(0, C), :][None]
+                ir_t1 = Ir[t + 1, :, pl.ds(0, C), :]
+                # O_Il[w-t, i+t, v] ⊕= O_Cl[w,i,v] + Cl[t,i,NC]
+                OIl[w - t, :, pl.ds(t, C), :] = plus(
+                    OIl[w - t, :, pl.ds(t, C), :], ocl_w + cl_t
+                )
+                # O_Cl[t, i, NC] ⊕= sum_v O_Cl[w,i,v] + Il[w-t,i+t,v]
+                c2 = ocl_w + il_wt
+                c2 = plus(c2[0], c2[1])
+                OCl[t, NOCHILD, pl.ds(0, C), :] = plus(
+                    OCl[t, NOCHILD, pl.ds(0, C), :], c2
+                )
+                # O_Ir[t+1, i, v] ⊕= O_Cr[w,i,v] + Cr[w-1-t,i+1+t,NC]
+                OIr[t + 1, :, pl.ds(0, C), :] = plus(
+                    OIr[t + 1, :, pl.ds(0, C), :], ocr_w + cr_wt_nc[None]
+                )
+                # O_Cr[w-1-t, i+1+t, NC] ⊕= sum_v O_Cr[w,i,v] + Ir[t+1,i,v]
+                c4 = ocr_w + ir_t1
+                c4 = plus(c4[0], c4[1])
+                OCr[w - 1 - t, NOCHILD, pl.ds(1 + t, C), :] = plus(
+                    OCr[w - 1 - t, NOCHILD, pl.ds(1 + t, C), :], c4
+                )
+                return 0
+
+            lax.fori_loop(0, w, t_body2, 0)
+
+            # ==== adjoints of the incomplete-span updates at width w ====
+            # Il[w,i,v] = inner_l[w,i] + attL[w,i,v]. The attach-grad
+            # rows are written FULL width (columns >= C read
+            # semiring-zero adjoints and produce exact 0 gradients).
+            oil_full = OIl[w, :, pl.ds(0, n1r), :]
+            oir_full = OIr[w, :, pl.ds(0, n1r), :]
+            il_w = Il[w, :, pl.ds(0, n1r), :]
+            ir_w = Ir[w, :, pl.ds(0, n1r), :]
+            gattL_ref[w, :, :, :] = grad_of(il_w, oil_full)
+            gattR_ref[w, :, :, :] = grad_of(ir_w, oir_full)
+
+            oil_w = OIl[w, :, pl.ds(0, C), :]
+            oir_w = OIr[w, :, pl.ds(0, C), :]
+            tmp_l = oil_w + attL_ref[w, :, pl.ds(0, C), :]
+            tmp_l = plus(tmp_l[0], tmp_l[1])  # [C, BT]
+            tmp_r = oir_w + attR_ref[w, :, pl.ds(0, C), :]
+            tmp_r = plus(tmp_r[0], tmp_r[1])
+
+            def t_body3(t, _):
+                cl_pair = Cl[w - 1 - t, :, pl.ds(1 + t, C), :]
+                cr_nc = Cr[t, NOCHILD, pl.ds(0, C), :]
+                cr_hc = Cr[t, HASCHILD, pl.ds(0, C), :]
+                # O_Cr[t, i, NC] ⊕= tmp_l + Cl[w-1-t,i+1+t,HC]
+                OCr[t, NOCHILD, pl.ds(0, C), :] = plus(
+                    OCr[t, NOCHILD, pl.ds(0, C), :],
+                    tmp_l + cl_pair[HASCHILD],
+                )
+                # O_Cr[t, i, HC] ⊕= tmp_r + Cl[w-1-t,i+1+t,NC]
+                OCr[t, HASCHILD, pl.ds(0, C), :] = plus(
+                    OCr[t, HASCHILD, pl.ds(0, C), :],
+                    tmp_r + cl_pair[NOCHILD],
+                )
+                # O_Cl[w-1-t, i+1+t, HC] ⊕= tmp_l + Cr[t,i,NC]
+                # O_Cl[w-1-t, i+1+t, NC] ⊕= tmp_r + Cr[t,i,HC]
+                chans = [None, None]
+                chans[HASCHILD] = tmp_l + cr_nc
+                chans[NOCHILD] = tmp_r + cr_hc
+                OCl[w - 1 - t, :, pl.ds(1 + t, C), :] = plus(
+                    OCl[w - 1 - t, :, pl.ds(1 + t, C), :], jnp.stack(chans)
+                )
+                return 0
+
+            lax.fori_loop(0, w, t_body3, 0)
             return 0
 
-        lax.fori_loop(0, w, t_body2, 0)
+        return w_body
 
-        # ==== adjoints of the incomplete-span updates at width w ====
-        # Il[w,i,v] = inner_l[w,i] + attL[w,i,v]
-        oil_w = OIl[w, :, pl.ds(0, n1r), :]
-        oir_w = OIr[w, :, pl.ds(0, n1r), :]
-        il_w = Il[w, :, pl.ds(0, n1r), :]
-        ir_w = Ir[w, :, pl.ds(0, n1r), :]
-        gattL_ref[w, :, :, :] = grad_of(il_w, oil_w)
-        gattR_ref[w, :, :, :] = grad_of(ir_w, oir_w)
-
-        tmp_l = oil_w + attL_ref[w]
-        tmp_l = plus(tmp_l[0], tmp_l[1])  # [n1r, BT]
-        tmp_r = oir_w + attR_ref[w]
-        tmp_r = plus(tmp_r[0], tmp_r[1])
-
-        def t_body3(t, _):
-            cl_pair = Cl[w - 1 - t, :, pl.ds(1 + t, n1r), :]
-            cr_nc = Cr[t, NOCHILD, pl.ds(0, n1r), :]
-            cr_hc = Cr[t, HASCHILD, pl.ds(0, n1r), :]
-            # O_Cr[t, i, NC] ⊕= tmp_l + Cl[w-1-t,i+1+t,HC]
-            OCr[t, NOCHILD, pl.ds(0, n1r), :] = plus(
-                OCr[t, NOCHILD, pl.ds(0, n1r), :],
-                tmp_l + cl_pair[HASCHILD],
-            )
-            # O_Cr[t, i, HC] ⊕= tmp_r + Cl[w-1-t,i+1+t,NC]
-            OCr[t, HASCHILD, pl.ds(0, n1r), :] = plus(
-                OCr[t, HASCHILD, pl.ds(0, n1r), :],
-                tmp_r + cl_pair[NOCHILD],
-            )
-            # O_Cl[w-1-t, i+1+t, HC] ⊕= tmp_l + Cr[t,i,NC]
-            # O_Cl[w-1-t, i+1+t, NC] ⊕= tmp_r + Cr[t,i,HC]
-            chans = [None, None]
-            chans[HASCHILD] = tmp_l + cr_nc
-            chans[NOCHILD] = tmp_r + cr_hc
-            OCl[w - 1 - t, :, pl.ds(1 + t, n1r), :] = plus(
-                OCl[w - 1 - t, :, pl.ds(1 + t, n1r), :], jnp.stack(chans)
-            )
-            return 0
-
-        lax.fori_loop(0, w, t_body3, 0)
-        return 0
-
-    lax.fori_loop(0, n1 - 1, w_body, 0)
+    for w_lo, w_hi, C in reversed(_width_bands(n1, n1r)):
+        lax.fori_loop(0, w_hi - w_lo, band_body(C, w_hi), 0)
 
     # width-0 rows of the attach grads are never produced by the loop
     gattL_ref[0, :, :, :] = jnp.zeros((2, n1r, BT), jnp.float32)
