@@ -110,3 +110,60 @@ def test_masked_columns_stay_below_real_scores():
     # masked query rows carry the -INF bias, not padding zeros
     assert float(np.asarray(logit)[0, 0, 0]) < -1e8
     assert float(np.asarray(logit_v)[0, 0, 0]) < -1e8
+
+
+@pytest.mark.slow
+def test_model_level_kernel_path_matches_xla():
+    """gather_logit_train with match_kernel='pallas' (interpret on CPU)
+    vs 'xla': same grounding loss to bf16 tolerance, finite grads."""
+    import dataclasses
+
+    from test_models import build_ldndmv, make_inputs
+    from vlgae_tpu.models import DependencyBoxRel, DependencyBoxRelConfig
+    from vlgae_tpu.models.vis_encoder import VisBoxRelSimpleEncoder
+
+    rng = np.random.default_rng(5)
+    Bm, L, P = 4, 5, 4
+    inputs = make_inputs(rng, B=Bm, L=L)
+    inputs["vis_box_feat"] = jnp.asarray(
+        rng.standard_normal((Bm, P, 10)), jnp.float32)
+    inputs["vis_box_mask"] = jnp.asarray(np.tile(np.arange(P) < 3, (Bm, 1)))
+    inputs["vis_available"] = jnp.ones(Bm, bool)
+
+    def build(kernel):
+        dep = build_ldndmv()
+        cfg = DependencyBoxRelConfig(
+            match_hidden=16, fuse_num_heads=2, fuse_dropout=0.0,
+            word_encoder_dropout=0.0, bf16_matmul=True,
+            match_kernel=kernel,
+        )
+        return DependencyBoxRel(
+            cfg=cfg, dep_cfg=dep.cfg, dependency=dep,
+            vis_encoder=VisBoxRelSimpleEncoder(
+                n_hidden=24, img_feat=True, use_attr=True, use_img=False),
+            pos_for_obj=(2,), pos_for_rel=(3,), pos_for_attr=(4,),
+        )
+
+    m_pallas = build("pallas")
+    m_xla = build("xla")
+    params = m_pallas.init(jax.random.key(0), inputs)
+
+    def loss(model, p):
+        o = model.apply(p, inputs, deterministic=False,
+                        rngs={"dropout": jax.random.key(1),
+                              "sample": jax.random.key(2)})
+        assert o.get("match_reduced") is not None
+        t, _ = model.apply(p, o, None, inputs, jnp.zeros(()), {}, 1.0,
+                           method=model.loss)
+        return t
+
+    lp, gp = jax.value_and_grad(lambda p: loss(m_pallas, p))(params)
+    lx, gx = jax.value_and_grad(lambda p: loss(m_xla, p))(params)
+    # the xla path rounds its maxes to bf16, the kernel keeps the f32
+    # accumulation — agreement is to bf16 resolution
+    assert float(lp) == pytest.approx(float(lx), rel=2e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gx)):
+        assert np.all(np.isfinite(np.asarray(a)))
+        na, nb = float(jnp.linalg.norm(a)), float(jnp.linalg.norm(b))
+        assert na == pytest.approx(nb, rel=0.15, abs=1e-4), (na, nb)

@@ -313,3 +313,66 @@ def test_wandb_watcher_logs_histograms(monkeypatch):
     inert = WandbWatcher()
     assert not inert.active
     inert.log_trees(0, params=params, grads=grads)  # no-op, no crash
+
+
+@pytest.mark.slow
+def test_compact_rel_training_graph_matches_full():
+    """compact_rel_train builds the relation group on the inclusive
+    upper triangle through the whole training graph (encoder incidence
+    GEMM, fusion log-multiplicity, compact matching axis). It must be
+    mathematically identical to the full P^2 path: same training loss,
+    same gradients."""
+    from test_models import build_ldndmv, make_inputs
+    from vlgae_tpu.models import (
+        DependencyBoxRel, DependencyBoxRelConfig, loss_nll,
+    )
+    from vlgae_tpu.models.vis_encoder import VisBoxRelSimpleEncoder
+
+    rng = np.random.default_rng(13)
+    Bm, Lm, P = 4, 5, 5
+    inputs = make_inputs(rng, B=Bm, L=Lm)
+    inputs["vis_box_feat"] = jnp.asarray(
+        rng.standard_normal((Bm, P, 10)), jnp.float32)
+    inputs["vis_box_mask"] = jnp.asarray(np.tile(np.arange(P) < 4, (Bm, 1)))
+    inputs["vis_available"] = jnp.ones(Bm, bool)
+
+    def build(compact):
+        dep = build_ldndmv()
+        cfg = DependencyBoxRelConfig(
+            match_hidden=16, fuse_num_heads=2, fuse_dropout=0.0,
+            word_encoder_dropout=0.0, compact_rel_train=compact,
+            match_kernel="xla",
+        )
+        return DependencyBoxRel(
+            cfg=cfg, dep_cfg=dep.cfg, dependency=dep,
+            vis_encoder=VisBoxRelSimpleEncoder(
+                n_hidden=24, img_feat=True, use_attr=True, use_img=False),
+            pos_for_obj=(2,), pos_for_rel=(3,), pos_for_attr=(4,),
+        )
+
+    m_c = build(True)
+    m_f = build(False)
+    params = m_c.init(jax.random.key(0), inputs)
+
+    def loss(model, p):
+        o = model.apply(p, inputs, deterministic=False,
+                        rngs={"dropout": jax.random.key(1),
+                              "sample": jax.random.key(2)})
+        dep_loss, dep_aux = loss_nll(o, inputs["seq_len"], viterbi=True)
+        t, _ = model.apply(p, o, None, inputs, dep_loss, dep_aux, 0.7,
+                           method=model.loss)
+        return t
+
+    lc, gc = jax.value_and_grad(lambda p: loss(m_c, p))(params)
+    lf, gf = jax.value_and_grad(lambda p: loss(m_f, p))(params)
+    assert float(lc) == pytest.approx(float(lf), rel=1e-5)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(gc),
+                            jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5, err_msg=str(path))
+
+    # eval forward is identical (always the full axis)
+    oc = m_c.apply(params, inputs, deterministic=True)
+    of = m_f.apply(params, inputs, deterministic=True)
+    np.testing.assert_allclose(np.asarray(oc["match_logit"]),
+                               np.asarray(of["match_logit"]), rtol=1e-6)

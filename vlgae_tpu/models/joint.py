@@ -173,6 +173,21 @@ class DependencyBoxRelConfig:
     # don't pay for the avoided [B,A,Q,V] materialization at this size.
     # Kept as a tuning knob for larger factor counts; 0 is fastest here.
     train_match_chunk: int = 0
+    # training matching-maxes backend: 'pallas' fuses the per-image
+    # GEMM + both max reductions in VMEM with a one-winner argmax-routed
+    # backward (torch .max semantics; always bf16 compute with f32
+    # accumulation); 'xla' is the einsum path above; 'auto' picks
+    # pallas on TPU when bf16_matmul is on
+    match_kernel: str = "auto"
+    # build the relation factor group compactly (inclusive upper
+    # triangle, K = P(P+1)/2 rows instead of P^2) throughout the
+    # TRAINING graph: rel(i,j) == rel(j,i) exactly, so the encoder
+    # emits only one row per pair (via a static incidence GEMM), the
+    # fusion softmax adds log-multiplicity, and matching/losses run on
+    # the compact axis — mathematically identical, ~2x less traffic on
+    # the largest tensor family in the train step. Eval always uses the
+    # full P^2 axis (the decode/output contract is index-based).
+    compact_rel_train: bool = True
     loss_grounding_mode: str = "factor|ce"  # factor|ce | cap_img|ce
     loss_use_pos_prior: bool = True
     loss_vis2txt: float = 1.0
@@ -196,6 +211,7 @@ class DependencyBoxRelConfig:
             "gather_logit_mode": ("simple", "reduced"),
             "loss_grounding_mode": ("factor|ce", "cap_img|ce"),
             "decode_grounding_mode": ("on_img", "on_factor"),
+            "match_kernel": ("auto", "pallas", "xla"),
         }
         for field_name, allowed in _check.items():
             v = getattr(self, field_name)
@@ -263,6 +279,12 @@ class DependencyBoxRel(fnn.Module):
             self.feat_layernorm = fnn.LayerNorm()
 
     # -- vis_feat (ref: joint.py:140-179) -----------------------------------
+    @staticmethod
+    def _rel_incl_pairs(P):
+        """Static inclusive-triangle (i <= j) pair indices."""
+        ti, tj = np.triu_indices(P, 0)
+        return ti.astype(np.int32), tj.astype(np.int32)
+
     def vis_feat(self, inputs, vis_encoded, return_mid: bool = False):
         cfg = self.cfg
         box_mask = inputs["vis_box_mask"]
@@ -271,11 +293,20 @@ class DependencyBoxRel(fnn.Module):
         mask = [box_mask]
         split = [P]
         if cfg.add_rel:
-            feat.append(vis_encoded["rel"])
-            rel_mask = box_mask[:, None, :] & box_mask[:, :, None]
-            rel_mask = jnp.triu(rel_mask, 1).reshape(B, -1)
+            rel = vis_encoded["rel"]
+            feat.append(rel)
+            if rel.shape[1] == P * P:
+                rel_mask = box_mask[:, None, :] & box_mask[:, :, None]
+                rel_mask = jnp.triu(rel_mask, 1).reshape(B, -1)
+            else:
+                # compact inclusive-triangle axis; the strict i < j
+                # visibility of the full path carries over (diagonal
+                # rows masked, exactly like the full path's duplicates)
+                ti, tj = self._rel_incl_pairs(P)
+                rel_mask = (box_mask[:, ti] & box_mask[:, tj]
+                            & jnp.asarray(ti != tj)[None])
             mask.append(rel_mask)
-            split.append(P * P)
+            split.append(rel.shape[1])
         if cfg.add_attr:
             feat.append(vis_encoded["attr"])
             mask.append(box_mask)
@@ -455,13 +486,27 @@ class DependencyBoxRel(fnn.Module):
             [txt_feat.astype(dt), ones_q,
              (-INF * (1.0 - txt_mask[..., None])).astype(dt)], -1
         )
-        # Two formulations (see train_match_chunk's measured verdict):
-        # the default single einsum + maxes, which XLA's autodiff
-        # handles best at reference scale, and a factor-chunked stream
-        # (never materializes the pairwise product; argmax-routed
-        # custom VJP) kept for larger factor counts.
+        # Three formulations (see train_match_chunk's measured verdict):
+        # the fused Pallas kernel (per-image GEMM + maxes in VMEM,
+        # argmax-routed backward — no [B,A,Q,V] tensor in either pass),
+        # the single einsum + maxes (XLA autodiff), and a factor-chunked
+        # stream kept for larger factor counts.
         D2 = vis_b.shape[-1]
         CH = self.cfg.train_match_chunk
+        mk = self.cfg.match_kernel
+        from ..ops import pallas_available
+
+        on_tpu = pallas_available()
+        use_pallas = mk == "pallas" or (
+            mk == "auto" and on_tpu and self.cfg.bf16_matmul
+        )
+        if use_pallas and CH <= 0:
+            from ..ops.match_pallas import match_maxes_pallas
+
+            logit, logit_v = match_maxes_pallas(
+                vis_b, txt_b, not on_tpu  # interpret off-TPU (tests)
+            )
+            return logit, self._expand_rel_tri(logit_v, maps)
         if CH <= 0:
             att = jnp.einsum("avd,bqd->baqv", vis_b, txt_b)
             logit = jnp.max(att, axis=-1).astype(jnp.float32)
@@ -483,14 +528,33 @@ class DependencyBoxRel(fnn.Module):
         logit_v = logit_v[:, :, :V].astype(jnp.float32)
         return logit, self._expand_rel_tri(logit_v, maps)
 
+    def _rel_logmult(self, split):
+        """[V] log-multiplicity vector for the compact rel axis: ln 2
+        for off-diagonal pairs (they stand for two full-axis entries),
+        0 elsewhere — added to softmax logits over the factor axis so
+        compact attention equals full-axis attention exactly."""
+        P = split[0]
+        ti, tj = self._rel_incl_pairs(P)
+        parts = []
+        for name, w in zip(self.vis_factor_names, split):
+            if name == "rel":
+                parts.append(np.where(ti != tj, np.log(2.0), 0.0))
+            else:
+                parts.append(np.zeros(w))
+        return jnp.asarray(np.concatenate(parts), jnp.float32)
+
     def _rel_tri_maps(self, split):
         """Static (keep, inv) index maps that compact the relation
         factor group to its strict upper triangle (rel(i,j)==rel(j,i)
-        and only i<j is ever unmasked); ``None`` without a rel group."""
+        and only i<j is ever unmasked); ``None`` without a rel group or
+        when the axis is ALREADY compact (compact_rel_train built it
+        that way upstream)."""
         names = self.vis_factor_names
         if "rel" not in names:
             return None
         P = split[0]
+        if split[1] != P * P:
+            return None
         starts = [0] + list(accumulate(split))
         keep = []
         for name, s0, w in zip(names, starts, split):
@@ -562,8 +626,17 @@ class DependencyBoxRel(fnn.Module):
             < inputs["seq_len"][:, None]
         )
         has_vis = "vis_box_feat" in inputs or "vis_pixels" in inputs
+        compact = (
+            has_vis and not deterministic and cfg.add_rel
+            and cfg.compact_rel_train
+        )
+        rel_pairs = None
+        if compact:
+            P = inputs["vis_box_mask"].shape[1]
+            rel_pairs = self._rel_incl_pairs(P)
         vis_encoded = (
-            self.vis_encoder(inputs, deterministic=deterministic)
+            self.vis_encoder(inputs, deterministic=deterministic,
+                             rel_pairs=rel_pairs)
             if has_vis else {}
         )
 
@@ -583,9 +656,13 @@ class DependencyBoxRel(fnn.Module):
             txt_w = self.lang_feat_word_only(
                 inputs, encoded, None, mask, deterministic
             )
-            attmap = jax.nn.softmax(
-                jnp.einsum("bvd,bqd->bqv", vis[0], txt_w[0][:, 1:]), axis=2
-            )
+            fuse_logits = jnp.einsum("bvd,bqd->bqv", vis[0],
+                                     txt_w[0][:, 1:])
+            if compact:
+                # each off-diagonal pair appears once instead of twice:
+                # +log(2) keeps the softmax identical to the full axis
+                fuse_logits = fuse_logits + self._rel_logmult(vis[2])
+            attmap = jax.nn.softmax(fuse_logits, axis=2)
             x_aug = jnp.einsum("bqv,bvh->bqh", attmap, vis[3])
             encoded = {**encoded,
                        "x": self.feat_layernorm(encoded["x"] + x_aug)}

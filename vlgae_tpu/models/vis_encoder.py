@@ -45,7 +45,16 @@ class VisBoxRelSimpleEncoder(fnn.Module):
         return self.n_hidden
 
     @fnn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True,
+                 rel_pairs=None):
+        """``rel_pairs``: optional static ``(i_idx, j_idx)`` arrays — the
+        relation group is then emitted only for those box pairs
+        ([B, K, h] instead of the full [B, N*N, h]): rel(i,j)==rel(j,i)
+        exactly (pairwise mean), so the training path requests the
+        upper triangle and skips ~half of the largest tensor family in
+        its graph. The compact rows are produced by a GEMM with a
+        static 0.5/0.5 incidence matrix, so the backward is the
+        transposed GEMM (MXU) instead of a scatter-add."""
         feat = x["vis_box_feat"]  # [B, N, H]
         B, N, H = feat.shape
         if self.img_feat:
@@ -66,10 +75,19 @@ class VisBoxRelSimpleEncoder(fnn.Module):
         rel_b = self.param(
             "rel_fc_bias", fnn.initializers.zeros_init(), (self.n_hidden,)
         )
-        rel = (rel_u[:, :, None] + rel_u[:, None, :]) / 2 + rel_b
+        if rel_pairs is not None:
+            ti, tj = (np.asarray(p) for p in rel_pairs)
+            K = ti.shape[0]
+            inc = np.zeros((K, N), np.float32)
+            inc[np.arange(K), ti] += 0.5
+            inc[np.arange(K), tj] += 0.5
+            rel = jnp.einsum("bnh,kn->bkh", rel_u, jnp.asarray(inc)) \
+                + rel_b
+        else:
+            rel = (rel_u[:, :, None] + rel_u[:, None, :]) / 2 + rel_b
+            rel = rel.reshape(B, N * N, self.n_hidden)
         if self.activate:
             rel = jax.nn.leaky_relu(rel)
-        rel = rel.reshape(B, N * N, self.n_hidden)
         if self.dropout > 0 and not deterministic:
             rel = shared_dropout(
                 self.make_rng("dropout"), rel, self.dropout, False
@@ -135,14 +153,16 @@ class VisViTPatchEncoder(fnn.Module):
             name="head",
         )
 
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True,
+                 rel_pairs=None):
         hidden = self.vit(
             pixel_values=x["vis_pixels"], deterministic=True
         ).last_hidden_state[:, 1:]  # drop CLS -> [B, n_patches, D]
         if not self.requires_grad:
             hidden = jax.lax.stop_gradient(hidden)
         return self.head({"vis_box_feat": hidden},
-                         deterministic=deterministic)
+                         deterministic=deterministic,
+                         rel_pairs=rel_pairs)
 
 
 def patch_boxes(image_size: int, patch_size: int) -> np.ndarray:

@@ -10,6 +10,7 @@ from .dmv_pallas import (
     dmv_partition_pallas,
     dmv_partition_pallas_interpret,
 )
+from .match_pallas import match_maxes_pallas
 
 
 def pallas_available() -> bool:
@@ -27,5 +28,6 @@ __all__ = [
     "dmv_max_pallas",
     "dmv_partition_pallas_interpret",
     "dmv_max_pallas_interpret",
+    "match_maxes_pallas",
     "pallas_available",
 ]

@@ -1286,20 +1286,26 @@ def _outside_kernel_v2(n1, n1r, cp, cp2, is_max,
 
 
 def _outside_cp(n1: int) -> int:
-    """Padded position width for the outside layout: max shift is
-    ``1 + t <= n1 - 1``, so reads/writes span ``n1 - 1 + n1r`` columns."""
-    return _round8(n1 - 1 + _round8(n1))
+    """Padded position width for the outside layout.
+
+    With banded column counts every shifted read/RMW at width w spans at
+    most ``(w - 1) + C(w) <= n1 + 6`` columns (C(w) = roundup(n1-w, 8)),
+    so ``round8(n1 + 7)`` suffices — usually equal to ``round8(n1)``,
+    which lets the saved charts feed the kernel WITHOUT any column-pad
+    staging copy. (The unbanded kernel needed ``n1 - 1 + n1r``.)"""
+    return max(_round8(n1 + 7), _round8(n1))
 
 
 def _outside_max_launch(n1: int) -> int:
     """Largest per-launch batch for the outside kernel (0 if over VMEM):
-    4 column-padded saved charts + attL/attR + grads as blocks, 4
-    column-padded adjoints as scratch."""
+    4 saved charts (worst case row-padded to n1 + TCH) + attL/attR +
+    grads as blocks, 4 cp-column adjoints as scratch."""
     n1r = _round8(n1)
     cp = _outside_cp(n1)
     chart = n1 * 2 * n1r * BT * 4
+    inchart = (n1 + TCH) * 2 * cp * BT * 4
     pchart = n1 * 2 * cp * BT * 4
-    blocks = 2 * chart + 4 * pchart + 2 * chart + 3 * BT * 4 \
+    blocks = 2 * chart + 4 * inchart + 2 * chart + 3 * BT * 4 \
         + 2 * (2 * n1r * BT * 4)
     scratch = 4 * pchart
     if 2 * blocks + scratch <= _V2_BUDGET:
@@ -1786,18 +1792,22 @@ def _pallas_outside_call(attL, attR, lengths, gout, logz, charts, *,
         )
     n1, _, n1r, B = attL.shape
     cp = _outside_cp(n1)
-    # column-pad the saved charts so shifted reads are direct slices
-    # (charts from the v3 inside carry TCH extra rows — the row trim
-    # fuses into this same pad copy)
-    charts = tuple(
-        jnp.pad(c[:n1], [(0, 0), (0, 0), (0, cp - n1r), (0, 0)],
-                constant_values=NEGINF)
-        for c in charts
-    )
+    # shifted reads must be direct slices: column-pad the saved charts
+    # only when the banded span cp exceeds their stored width (with the
+    # banded kernel usually cp == n1r and the charts stream in as
+    # saved — row padding from the v3 inside is carried along, those
+    # rows are simply never read)
+    if charts[0].shape[2] != cp:
+        charts = tuple(
+            jnp.pad(c, [(0, 0), (0, 0), (0, cp - c.shape[2]), (0, 0)],
+                    constant_values=NEGINF)
+            for c in charts
+        )
+    crows = charts[0].shape[0]
     grid = (B // BT,)
     pchart = lambda: pltpu.VMEM((n1, 2, cp, BT), jnp.float32)
     att_spec, seed_spec, row_spec = _specs(n1, n1r)
-    pchart_spec = pl.BlockSpec((n1, 2, cp, BT), lambda g: (0, 0, 0, g),
+    pchart_spec = pl.BlockSpec((crows, 2, cp, BT), lambda g: (0, 0, 0, g),
                                memory_space=pltpu.VMEM)
     kernel = functools.partial(_outside_kernel, n1, n1r, cp, is_max)
     gattL, gattR, gseedR, gseedL = pl.pallas_call(

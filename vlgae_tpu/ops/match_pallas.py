@@ -58,8 +58,8 @@ def _fwd_kernel(Q, B, V, Vp, txtT_ref, vis_ref,
     # max/first-argmax over v (sublane axis)
     m = jnp.max(att, axis=0)                 # [QBp]
     im = jnp.min(jnp.where(att == m[None, :], iota_v, Vp), axis=0)
-    m_ref[0, :] = m
-    im_ref[0, :] = im.astype(jnp.int32)
+    m_ref[0, 0, :] = m
+    im_ref[0, 0, :] = im.astype(jnp.int32)
 
     # running max/first-argmax over q (static lane-block loop)
     mv = jnp.full((Vp, B), -jnp.inf, jnp.float32)
@@ -81,8 +81,8 @@ def _bwd_kernel(Q, B, Vp, QBp, txtT_ref, vis_ref, im_ref, iv_ref,
     (zeroed at a = 0, accumulated after) — the TPU grid is sequential.
     """
     vis_a = vis_ref[0]                       # [Vp, Dp] bf16
-    dm = dm_ref[0, :]                        # [QBp] f32
-    im = im_ref[0, :]                        # [QBp] i32
+    dm = dm_ref[0, 0, :]                     # [QBp] f32
+    im = im_ref[0, 0, :]                     # [QBp] i32
     dmv = dmv_ref[0]                         # [Vp, B] f32
     iv = iv_ref[0]                           # [Vp, B] i32
 
@@ -145,9 +145,11 @@ def _fwd_impl(vis_b, txt_b, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, QBp), lambda a: (a, 0),
+            # (1, 1, QBp): TPU blocks need their last-two dims to be
+            # 8/128-divisible or equal to the array dims
+            pl.BlockSpec((1, 1, QBp), lambda a: (a, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QBp), lambda a: (a, 0),
+            pl.BlockSpec((1, 1, QBp), lambda a: (a, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Vp, B), lambda a: (a, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -155,8 +157,8 @@ def _fwd_impl(vis_b, txt_b, interpret):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((A, QBp), jnp.float32),
-            jax.ShapeDtypeStruct((A, QBp), jnp.int32),
+            jax.ShapeDtypeStruct((A, 1, QBp), jnp.float32),
+            jax.ShapeDtypeStruct((A, 1, QBp), jnp.int32),
             jax.ShapeDtypeStruct((A, Vp, B), jnp.float32),
             jax.ShapeDtypeStruct((A, Vp, B), jnp.int32),
         ),
@@ -168,8 +170,8 @@ def _fwd_impl(vis_b, txt_b, interpret):
             transcendentals=0,
         ),
     )(txtT, vis)
-    # m: [A, QBp] q-major -> logit [B, A, Q]
-    logit = m[:, :Q * B].reshape(A, Q, B).transpose(2, 0, 1)
+    # m: [A, 1, QBp] q-major -> logit [B, A, Q]
+    logit = m[:, 0, :Q * B].reshape(A, Q, B).transpose(2, 0, 1)
     logit_v = mv[:, :V, :].transpose(2, 0, 1)  # [B, A, V]
     return logit, logit_v, (im, iv)
 
@@ -195,8 +197,8 @@ def _match_bwd(interpret, res, g):
     vis, txtT, Vp, Dp, QBp = _pad_inputs(vis_b, txt_b)
     # dm: [A, QBp] q-major; dmv: [A, Vp, B]
     dm = jnp.pad(
-        dlogit.astype(jnp.float32).transpose(1, 2, 0).reshape(A, Q * B),
-        [(0, 0), (0, QBp - Q * B)],
+        dlogit.astype(jnp.float32).transpose(1, 2, 0).reshape(A, 1, Q * B),
+        [(0, 0), (0, 0), (0, QBp - Q * B)],
     )
     dmv = jnp.pad(dlogit_v.astype(jnp.float32).transpose(1, 2, 0),
                   [(0, 0), (0, Vp - V), (0, 0)])
@@ -209,11 +211,11 @@ def _match_bwd(interpret, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Vp, Dp), lambda a: (a, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QBp), lambda a: (a, 0),
+            pl.BlockSpec((1, 1, QBp), lambda a: (a, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Vp, B), lambda a: (a, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QBp), lambda a: (a, 0),
+            pl.BlockSpec((1, 1, QBp), lambda a: (a, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Vp, B), lambda a: (a, 0, 0),
                          memory_space=pltpu.VMEM),
