@@ -76,38 +76,6 @@ def test_pallas_cotangent_scaling(batch):
     np.testing.assert_allclose(np.asarray(ga), np.asarray(wa), rtol=1e-3, atol=1e-5)
 
 
-def test_pallas_v2_outside_matches_scan(batch):
-    """The gated pull-form (v2) outside kernel stays parity-tested even
-    though the push-form is the default (see USE_V2_OUTSIDE)."""
-    from vlgae_tpu.ops import dmv_pallas as dp
-
-    mdec, mattach, lengths = batch
-    old = dp.USE_V2_OUTSIDE
-    dp.USE_V2_OUTSIDE = True
-    try:
-        def total_pallas(d, a):
-            return jnp.sum(dmv_partition_pallas_interpret(d, a, lengths))
-
-        gd, ga = jax.grad(total_pallas, argnums=(0, 1))(mdec, mattach)
-        wd, wa = dmv_marginals(mdec, mattach, lengths, LogSemiring)
-        np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
-                                   rtol=1e-3, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(gd), np.asarray(wd),
-                                   rtol=1e-3, atol=1e-5)
-
-        def total_max(d, a):
-            return jnp.sum(dmv_max_pallas_interpret(d, a, lengths))
-
-        gd, ga = jax.grad(total_max, argnums=(0, 1))(mdec, mattach)
-        wd, wa = dmv_marginals(mdec, mattach, lengths, MaxSemiring)
-        np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
-                                   rtol=1e-3, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(gd), np.asarray(wd),
-                                   rtol=1e-3, atol=1e-5)
-    finally:
-        dp.USE_V2_OUTSIDE = old
-
-
 @pytest.fixture(scope="module")
 def big_batch():
     """Lengths large enough for the v3 chunked inside gate (n1 >= 10)."""
@@ -180,35 +148,3 @@ def test_pallas_v3_inside_matches_scan(big_batch):
     np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), rtol=1e-3, atol=1e-5)
 
 
-def test_pallas_v4_outside_matches_scan(big_batch):
-    """The chunked dual-layout push (v4) outside kernel, gated behind
-    USE_V4_OUTSIDE: VJP parity for both semirings at v3-eligible sizes."""
-    from vlgae_tpu.ops import dmv_pallas as dp
-
-    mdec, mattach, lengths = big_batch
-    n1 = mattach.shape[1]
-    assert dp._outside_v4_max_launch(n1) > 0
-    old = dp.USE_V4_OUTSIDE
-    dp.USE_V4_OUTSIDE = True
-    try:
-        def total_pallas(d, a):
-            return jnp.sum(dmv_partition_pallas_interpret(d, a, lengths))
-
-        gd, ga = jax.grad(total_pallas, argnums=(0, 1))(mdec, mattach)
-        wd, wa = dmv_marginals(mdec, mattach, lengths, LogSemiring)
-        np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
-                                   rtol=1e-3, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(gd), np.asarray(wd),
-                                   rtol=1e-3, atol=1e-5)
-
-        def total_max(d, a):
-            return jnp.sum(dmv_max_pallas_interpret(d, a, lengths))
-
-        gd, ga = jax.grad(total_max, argnums=(0, 1))(mdec, mattach)
-        wd, wa = dmv_marginals(mdec, mattach, lengths, MaxSemiring)
-        np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
-                                   rtol=1e-3, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(gd), np.asarray(wd),
-                                   rtol=1e-3, atol=1e-5)
-    finally:
-        dp.USE_V4_OUTSIDE = old

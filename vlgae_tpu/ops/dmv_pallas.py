@@ -892,8 +892,7 @@ def _v3_max_launch(n1: int, save: bool) -> int:
 
 
 def _pallas_inside_call_v3(attL, attR, seedR, seedL, lengths, *, is_max,
-                           interpret, save_charts: bool = False,
-                           save_flips: bool = False):
+                           interpret, save_charts: bool = False):
     n1, _, n1r, B = attL.shape
     ip = _round8(n1 - 1 + n1r)
     fr = n1 + TCH  # no row-tiling constraint; match v4's block rows exactly
@@ -915,35 +914,9 @@ def _pallas_inside_call_v3(attL, attR, seedR, seedL, lengths, *, is_max,
             (nx, 2, n1r, BT), lambda g: (0, 0, 0, g),
             memory_space=pltpu.VMEM,
         )
-        flip_spec = lambda v: pl.BlockSpec(
-            (fr, v, ip, BT), lambda g: (0, 0, 0, g),
-            memory_space=pltpu.VMEM,
-        )
         chart_shape = jax.ShapeDtypeStruct((nx, 2, n1r, B), jnp.float32)
-        flip_shape = lambda v: jax.ShapeDtypeStruct((fr, v, ip, B),
-                                                    jnp.float32)
-        if save_flips:
-            # exporting the flip layouts lets the v4 outside consume
-            # them directly — only worth the extra HBM writes when the
-            # v4 path will actually run
-            out, Cr, Cl, Ir, Il, ClKF, CrEF, IlHF = pl.pallas_call(
-                kernel,
-                grid=grid,
-                in_specs=[att_spec, att_spec, seed_spec, seed_spec,
-                          row_spec],
-                out_specs=(row_spec,) + (chart_spec,) * 4
-                + (flip_spec(2), flip_spec(1), flip_spec(2)),
-                out_shape=(jax.ShapeDtypeStruct((1, B), jnp.float32),)
-                + (chart_shape,) * 4
-                + (flip_shape(2), flip_shape(1), flip_shape(2)),
-                compiler_params=params,
-                interpret=interpret,
-                cost_estimate=cost,
-            )(attL, attR, seedR, seedL, lengths)
-            # charts keep their TCH padding rows; consumers fuse the
-            # row trim into their own staging copies (or, for the v4
-            # outside, read the padded layouts directly)
-            return out[0], (Cr, Cl, Ir, Il, ClKF, CrEF, IlHF)
+        # charts keep their TCH padding rows; the outside reads the
+        # padded layout directly (rows >= n1 are never touched)
         out, Cr, Cl, Ir, Il = pl.pallas_call(
             kernel,
             grid=grid,
@@ -1036,12 +1009,7 @@ def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
     v3_launch = _v3_max_launch(n1, save_charts) if USE_V3_INSIDE else 0
     v2_launch = _v2_max_launch(n1, save_charts) if USE_V2_INSIDE else 0
     launch_b = v3_launch or v2_launch or _MAX_LAUNCH_B
-    # export the flip layouts only when the v4 outside will consume them
-    save_flips = bool(
-        save_charts and v3_launch and USE_V4_OUTSIDE
-        and _outside_v4_max_launch(n1) > 0
-    )
-    n_charts = 7 if save_flips else 4
+    n_charts = 4
     if B_total > launch_b:
         if save_charts:
             def one(*a):
@@ -1066,7 +1034,6 @@ def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
         return _pallas_inside_call_v3(
             attL, attR, seedR, seedL, lengths, is_max=is_max,
             interpret=interpret, save_charts=save_charts,
-            save_flips=save_flips,
         )
     if v2_launch:
         return _pallas_inside_call_v2(
@@ -1115,197 +1082,29 @@ def _pallas_inside_call(attL, attR, seedR, seedL, lengths, *, is_max,
     return out[0], None
 
 
-def _outside_kernel_v2(n1, n1r, cp, cp2, is_max,
-                       attL_ref, attR_ref, len_ref, gout_ref, logz_ref,
-                       ClEpad, Crpad, Ilpad, CrEpad, IrEpad, Clpad,
-                       seedsR_ref, seedsL_ref,
-                       gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
-                       OCl, OClE, OCr, OCrE, tmpL, tmpR, tmpLE, tmpRE):
-    """PULL-form vectorized outside pass (the adjoint counterpart of the
-    v2 inside fill): every adjoint row at width u is ONE slab reduction
-    over the split point, instead of a sequential t-loop of pushes.
-
-    Derivation (from the push adjoints in :func:`_outside_kernel`, with
-    r = u + s the absolute source width):
-      OIl[u,v,j]  = LSE_r { OClE[r,v,j+u]      + ClE[r-u, NC, j] }
-      OIr[u,v,j]  = LSE_r { OCr[r,v,j]         + Cr[r-u, NC, j+u] }
-      OCl[u,NC,i] ⊕= LSE_{r,v'} { OCl[r,v',i]  + Il[r-u, v', i+u] }
-      OCl[u,HC,j] ⊕= LSE_r { tmp_lE[r, j+u]    + CrE[r-u-1, NC, j-1] }
-      OCl[u,NC,j] ⊕= LSE_r { tmp_rE[r, j+u]    + CrE[r-u-1, HC, j-1] }
-      OCr[u,NC,i] ⊕= LSE_{r,v'} { OCrE[r,v',i+u] + IrE[r-u, v', i] }
-      OCr[u,NC,i] ⊕= LSE_r { tmp_l[r, i]       + Cl[r-u-1, HC, i+u+1] }
-      OCr[u,HC,i] ⊕= LSE_r { tmp_r[r, i]       + Cl[r-u-1, NC, i+u+1] }
-    where E-layouts index positions by span END (e = pos + width) and
-    ``*pad`` inputs are row-padded to 2*n1 (rows < n1 are NEGINF), so
-    every r-range/boundary constraint is enforced by NEGINF padding
-    alone — invalid source rows read semiring zero. tmp_* are
-    ``Σ_v (OI*[u,v,:] + att*[u,v,:])``, maintained in both layouts.
-    """
-
-    def lse(x, axes):
-        if is_max:
-            return jnp.max(x, axis=axes)
-        m = jnp.max(x, axis=axes, keepdims=True)
-        s = jnp.sum(jnp.exp(x - m), axis=axes)
-        return jnp.squeeze(m, axes) + jnp.log(s)
-
-    def plus(a, b):
-        return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
-
-    OCl[:, :, :, :] = jnp.full((n1, 2, n1r, BT), NEGINF, jnp.float32)
-    OClE[:, :, :, :] = jnp.full((n1, 2, cp, BT), NEGINF, jnp.float32)
-    OCr[:, :, :, :] = jnp.full((n1, 2, n1r, BT), NEGINF, jnp.float32)
-    OCrE[:, :, :, :] = jnp.full((n1, 2, cp, BT), NEGINF, jnp.float32)
-    tmpL[:, :, :] = jnp.full((n1, n1r, BT), NEGINF, jnp.float32)
-    tmpR[:, :, :] = jnp.full((n1, n1r, BT), NEGINF, jnp.float32)
-    tmpLE[:, :, :] = jnp.full((n1, cp, BT), NEGINF, jnp.float32)
-    tmpRE[:, :, :] = jnp.full((n1, cp, BT), NEGINF, jnp.float32)
-
-    lengths = len_ref[0, :]
-    logz = logz_ref[0, :]
-    gout = gout_ref[0, :]
-    i_iota = lax.broadcasted_iota(jnp.int32, (n1r, BT), 0)
-
-    def grad_of(inside, outside):
-        if is_max:
-            ind = inside + outside >= logz[None, None, :] - _MAX_EPS
-            return jnp.where(ind, 1.0, 0.0) * gout[None, None, :]
-        return (
-            jnp.exp(jnp.minimum(inside + outside - logz[None, None, :], 88.0))
-            * gout[None, None, :]
-        )
-
-    def w_body(urev, _):
-        u = n1 - 1 - urev  # descending n1-1 .. 0
-
-        # ---- OCl[u] ----
-        ocl_nc = lse(
-            OCl[:, :, :, :]
-            + Ilpad[pl.ds(n1 - u, n1), :, pl.ds(u, n1r), :],
-            (0, 1),
-        )
-        ocl_nc = plus(ocl_nc, lse(
-            tmpRE[:, pl.ds(u, n1r), :]
-            + CrEpad[pl.ds(n1 - u - 1, n1), HASCHILD, pl.ds(7, n1r), :],
-            0,
-        ))
-        ocl_hc = lse(
-            tmpLE[:, pl.ds(u, n1r), :]
-            + CrEpad[pl.ds(n1 - u - 1, n1), NOCHILD, pl.ds(7, n1r), :],
-            0,
-        )
-        chans = [None, None]
-        chans[NOCHILD] = ocl_nc
-        chans[HASCHILD] = ocl_hc
-        ocl_u = jnp.stack(chans)
-        OCl[u, :, :, :] = ocl_u
-        OClE[u, :, pl.ds(u, n1r), :] = ocl_u
-
-        # ---- OCr[u] (+ final-cell seed and root mask) ----
-        ocr_nc = lse(
-            OCrE[:, :, pl.ds(u, n1r), :]
-            + IrEpad[pl.ds(n1 - u, n1), :, pl.ds(0, n1r), :],
-            (0, 1),
-        )
-        ocr_nc = plus(ocr_nc, lse(
-            tmpL[:, :, :]
-            + Clpad[pl.ds(n1 - u - 1, n1), HASCHILD, pl.ds(u + 1, n1r), :],
-            0,
-        ))
-        ocr_hc = lse(
-            tmpR[:, :, :]
-            + Clpad[pl.ds(n1 - u - 1, n1), NOCHILD, pl.ds(u + 1, n1r), :],
-            0,
-        )
-        chans = [None, None]
-        chans[NOCHILD] = ocr_nc
-        chans[HASCHILD] = ocr_hc
-        ocr_u = jnp.stack(chans)
-        at_final = (lengths[None, :] == u) & (i_iota == 0)
-        sel_nc = lax.broadcasted_iota(jnp.int32, (2, n1r, BT), 0) == NOCHILD
-        ocr_u = jnp.where(
-            sel_nc & at_final[None], jnp.maximum(ocr_u, 0.0), ocr_u
-        )
-        # forward applies the single-root mask only at widths >= 1
-        root_keep = (i_iota != 0) | (lengths[None, :] == u) | (u == 0)
-        ocr_u = jnp.where(root_keep[None], ocr_u, NEGINF)
-        OCr[u, :, :, :] = ocr_u
-        OCrE[u, :, pl.ds(u, n1r), :] = ocr_u
-
-        # ---- OIl[u], OIr[u], attach grads, tmp rows ----
-        # The r = u source row was written THIS iteration; reading it
-        # back through a dynamically-indexed slab races on hardware
-        # (Mosaic misses same-iteration write->read overlap), so the
-        # slab masks row u to semiring-zero and the fresh term is folded
-        # in from the in-register value (same trick as the v2 inside).
-        row_iota = lax.broadcasted_iota(jnp.int32, (n1, 1, 1, 1), 0)
-        not_u = row_iota != u
-        oil_rest = lse(
-            jnp.where(
-                not_u,
-                OClE[:, :, pl.ds(u, n1r), :]
-                + ClEpad[pl.ds(n1 - u, n1), :, pl.ds(0, n1r), :],
-                NEGINF,
-            ),
-            0,
-        )
-        oil_u = plus(oil_rest, ocl_u + ClEpad[n1, :, pl.ds(0, n1r), :])
-        oir_rest = lse(
-            jnp.where(
-                not_u,
-                OCr[:, :, :, :]
-                + Crpad[pl.ds(n1 - u, n1), :, pl.ds(u, n1r), :],
-                NEGINF,
-            ),
-            0,
-        )
-        oir_u = plus(oir_rest, ocr_u + Crpad[n1, :, pl.ds(u, n1r), :])
-        il_u = Ilpad[n1 + u, :, pl.ds(0, n1r), :]
-        ir_u = IrEpad[n1 + u, :, pl.ds(u, n1r), :]
-        gattL_ref[u, :, :, :] = grad_of(il_u, oil_u)
-        gattR_ref[u, :, :, :] = grad_of(ir_u, oir_u)
-
-        tl = oil_u + attL_ref[u]
-        tl = plus(tl[0], tl[1])
-        tr = oir_u + attR_ref[u]
-        tr = plus(tr[0], tr[1])
-        tmpL[u, :, :] = tl
-        tmpR[u, :, :] = tr
-        tmpLE[u, pl.ds(u, n1r), :] = tl
-        tmpRE[u, pl.ds(u, n1r), :] = tr
-        return 0
-
-    lax.fori_loop(0, n1, w_body, 0)
-
-    # width-0 attach-grad rows are not real updates
-    gattL_ref[0, :, :, :] = jnp.zeros((2, n1r, BT), jnp.float32)
-    gattR_ref[0, :, :, :] = jnp.zeros((2, n1r, BT), jnp.float32)
-
-    gseedR_ref[:] = grad_of(seedsR_ref[:, :, :], OCr[0, :, :, :])
-    gseedL_ref[:] = grad_of(seedsL_ref[:, :, :], OCl[0, :, :, :])
-
-
 def _outside_cp(n1: int) -> int:
-    """Padded position width for the outside layout.
+    """Padded position width for the outside layout: max shift is
+    ``1 + t <= n1 - 1``, so reads/writes span ``n1 - 1 + n1r`` columns.
 
-    With banded column counts every shifted read/RMW at width w spans at
-    most ``(w - 1) + C(w) <= n1 + 6`` columns (C(w) = roundup(n1-w, 8)),
-    so ``round8(n1 + 7)`` suffices — usually equal to ``round8(n1)``,
-    which lets the saved charts feed the kernel WITHOUT any column-pad
-    staging copy. (The unbanded kernel needed ``n1 - 1 + n1r``.)"""
-    return max(_round8(n1 + 7), _round8(n1))
+    NOTE a tighter bound exists under banding (every access spans
+    <= n1 + 6 columns, so ``round8(n1 + 7)`` would be enough and at
+    n1 = 65 even removes the column-pad staging copy entirely) — but
+    the tight layout, while interpret-correct and passing single-launch
+    hardware runs, reproducibly CRASHED the v5e worker inside the
+    chunked b1024 stretch benchmark. Reverted to the generous padding
+    that is verified stable on hardware; revisit with a local device."""
+    return _round8(n1 - 1 + _round8(n1))
 
 
 def _outside_max_launch(n1: int) -> int:
     """Largest per-launch batch for the outside kernel (0 if over VMEM):
-    4 saved charts (worst case row-padded to n1 + TCH) + attL/attR +
-    grads as blocks, 4 cp-column adjoints as scratch."""
+    4 column-padded saved charts + attL/attR + grads as blocks, 4
+    column-padded adjoints as scratch."""
     n1r = _round8(n1)
     cp = _outside_cp(n1)
     chart = n1 * 2 * n1r * BT * 4
-    inchart = (n1 + TCH) * 2 * cp * BT * 4
     pchart = n1 * 2 * cp * BT * 4
-    blocks = 2 * chart + 4 * inchart + 2 * chart + 3 * BT * 4 \
+    blocks = 2 * chart + 4 * pchart + 2 * chart + 3 * BT * 4 \
         + 2 * (2 * n1r * BT * 4)
     scratch = 4 * pchart
     if 2 * blocks + scratch <= _V2_BUDGET:
@@ -1315,471 +1114,11 @@ def _outside_max_launch(n1: int) -> int:
     return 0
 
 
-def _row_shift_right(x, width):
-    """Shift row k of ``x`` right by k positions into a ``width``-column
-    frame (NEGINF fill): builds END-position (e = pos + width) layouts.
-    x: [n1, V, n1r, B] -> [n1, V, width, B]."""
-    n1, _, n1r, _ = x.shape
-    e = jnp.arange(width)[None, :]
-    k = jnp.arange(n1)[:, None]
-    src = e - k
-    valid = (src >= 0) & (src < n1r)
-    out = jnp.take_along_axis(
-        x, jnp.clip(src, 0, n1r - 1)[:, None, :, None], axis=2
-    )
-    return jnp.where(valid[:, None, :, None], out, NEGINF)
-
-
-def _row_pad(x, n1):
-    """Prepend n1 NEGINF rows (row-padding for r-form slab reads)."""
-    return jnp.pad(x, [(n1, 0)] + [(0, 0)] * (x.ndim - 1),
-                   constant_values=NEGINF)
-
-
-def _col_pad(x, cols):
-    return jnp.pad(x, [(0, 0), (0, 0), (0, cols - x.shape[2]), (0, 0)],
-                   constant_values=NEGINF)
-
-
-def _outside_v2_max_launch(n1: int) -> int:
-    n1r = _round8(n1)
-    cp = _outside_cp(n1)
-    cp2 = _round8(n1 + n1r)
-    cpe = _round8(8 + n1r)
-    u = lambda rows, V, cols: rows * V * cols * BT * 4
-    blocks = (
-        2 * u(n1, 2, n1r)          # attL/attR
-        + u(2 * n1, 1, n1r)        # ClEpad
-        + u(2 * n1, 1, cp)         # Crpad
-        + u(2 * n1, 2, cp)         # Ilpad
-        + u(2 * n1, 2, cpe)        # CrEpad
-        + u(2 * n1, 2, cp)         # IrEpad
-        + u(2 * n1, 2, cp2)        # Clpad
-        + 4 * u(1, 2, n1r)         # seeds in + gseeds out
-        + 2 * u(n1, 2, n1r)        # gatt out
-        + 3 * BT * 4
-    )
-    scratch = (2 * u(n1, 2, n1r) + 2 * u(n1, 2, cp)
-               + 2 * u(n1, 1, n1r) + 2 * u(n1, 1, cp))
-    if 2 * blocks + scratch <= _V2_BUDGET:
-        return _MAX_LAUNCH_B
-    if blocks + scratch <= 96 * 1024 * 1024:
-        return BT
-    return 0
-
-
-# Pull-form (v2) outside kernel: measured SLOWER than the push-form
-# (v1.5) on v5e (len30/b256 io: 587K vs 703K sent/s in the same timing
-# window) — each pull reduces a full [n1, ...] slab of which only
-# (n1 - u) rows are valid, so ~half the slab work is wasted, and Mosaic
-# handles the small per-t push ops well once staging pads are gone.
-# Kept behind this flag (interpret-parity-tested) for future tuning.
-USE_V2_OUTSIDE = False
-
-
-def _pallas_outside_call_v2(attL, attR, lengths, gout, logz, seeds, charts,
-                            *, is_max, interpret):
-    n1, _, n1r, B = attL.shape
-    cp = _outside_cp(n1)
-    cp2 = _round8(n1 + n1r)
-    cpe = _round8(8 + n1r)
-    # v3-saved charts carry TCH padding rows; trim to n1
-    Cr, Cl, Ir, Il = (c[:n1] for c in charts)
-    seedR, seedL = seeds
-    NC = NOCHILD
-
-    ClEpad = _row_pad(_row_shift_right(Cl[:, NC:NC + 1], n1r), n1)
-    Crpad = _row_pad(_col_pad(Cr[:, NC:NC + 1], cp), n1)
-    Ilpad = _row_pad(_col_pad(Il, cp), n1)
-    CrEpad = _row_pad(
-        jnp.pad(_row_shift_right(Cr, n1r), [(0, 0), (0, 0),
-                                            (8, cpe - n1r - 8), (0, 0)],
-                constant_values=NEGINF),
-        n1,
-    )
-    IrEpad = _row_pad(_row_shift_right(Ir, cp), n1)
-    Clpad = _row_pad(_col_pad(Cl, cp2), n1)
-
-    grid = (B // BT,)
-    att_spec, seed_spec, row_spec = _specs(n1, n1r)
-    spec = lambda rows, V, cols: pl.BlockSpec(
-        (rows, V, cols, BT), lambda g: (0, 0, 0, g),
-        memory_space=pltpu.VMEM,
-    )
-    scr = lambda rows, V, cols: pltpu.VMEM((rows, V, cols, BT), jnp.float32)
-    kernel = functools.partial(_outside_kernel_v2, n1, n1r, cp, cp2, is_max)
-    gattL, gattR, gseedR, gseedL = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            att_spec, att_spec, row_spec, row_spec, row_spec,
-            spec(2 * n1, 1, n1r), spec(2 * n1, 1, cp), spec(2 * n1, 2, cp),
-            spec(2 * n1, 2, cpe), spec(2 * n1, 2, cp), spec(2 * n1, 2, cp2),
-            seed_spec, seed_spec,
-        ],
-        out_specs=(att_spec, att_spec, seed_spec, seed_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
-            jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
-            jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
-            jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
-        ),
-        scratch_shapes=[
-            scr(n1, 2, n1r), scr(n1, 2, cp),      # OCl, OClE
-            scr(n1, 2, n1r), scr(n1, 2, cp),      # OCr, OCrE
-            pltpu.VMEM((n1, n1r, BT), jnp.float32),
-            pltpu.VMEM((n1, n1r, BT), jnp.float32),
-            pltpu.VMEM((n1, cp, BT), jnp.float32),
-            pltpu.VMEM((n1, cp, BT), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
-        ),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=24 * n1 ** 3 * B,
-            bytes_accessed=(8 * n1 * n1 * 2 + 8 * n1 * 2 + 4) * B * 4,
-            transcendentals=0 if is_max else 8 * n1 ** 3 * B,
-        ),
-    )(attL, attR, lengths, gout, logz,
-      ClEpad, Crpad, Ilpad, CrEpad, IrEpad, Clpad, seedR, seedL)
-    return gattL, gattR, gseedR, gseedL
-
-
-# Chunked dual-layout push outside kernel (v4). Hardware verdict
-# (v5e, 2026-08-16): correct (gradients match on-device at len30) but
-# SLOWER than the v1 push outside at len30 — 0.72x with 8-row chunks
-# (the working set across 7 concurrent push RMWs spills vector
-# registers), 0.82x with 4-row chunks (spills reduced, the per-chunk
-# masked/value ops and narrower slabs eat the rest) — and at len64 its
-# ~93MB estimated footprint faults the worker (spill stack on top of
-# the estimate exceeds VMEM). The v1 per-t push loop is simply
-# VPU-busy, not issue-bound (a manual unroll-2 of it also measured
-# neutral). Kept behind this flag with interpret parity tests.
-USE_V4_OUTSIDE = False
-
-# v4 push-chunk rows (<= TCH: buffers are padded for TCH overreach).
-V4_TCH = 4
-
-
-def _outside_kernel_v4(n1, n1r, ip, nx, tch, is_max,
-                       attL_ref, attR_ref, len_ref, gout_ref, logz_ref,
-                       Cr, ClN, Ir, ClKF, CrEF, IlHF,
-                       seedR_ref, seedL_ref,
-                       gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
-                       OClS, OClEf, OCrS, OCrEf, OIlEf, OIrS):
-    """Chunked push-form outside pass.
-
-    The v1 push kernel walks split points one at a time (w small RMW
-    statements per width); here every push is a ``tch``-row slab RMW.
-    The trick that makes pushes slab-uniform is keeping each adjoint in
-    the layout in which its pushes have a FIXED column shift:
-
-      * start-indexed (row = width, col = start):  OCl[t,NC,i],
-        OCr[t,:,i], OIr[t+1,:,i] — shift 0;
-      * flipped end-indexed (row = n1-1-width, col = end e = i+u):
-        OIl[u-t], OCl[u-1-t], OCr[u-1-t] — shift u, rows ascend with t.
-
-    A row's two halves merge once, when it is consumed (widths descend,
-    so all pushes have landed). Sources come from the v3 forward's
-    saved plain charts and its flipped layouts (ClKF/CrEF/IlHF) — the
-    backward needs no re-staging. Row chunks may overrun the valid
-    t-range: overrun rows either read NEGINF sources (no-op pushes) or
-    land in never-consumed padding rows (see the per-push notes).
-
-    Same-iteration hazards: a push may target the row being consumed in
-    the same iteration; where that contribution is real it is folded
-    in-register instead (push 1 is shifted to start at t=1; push 3
-    masks its t=u-1 row), so every surviving own-row push is
-    value-preserving and safe under reordering.
-    """
-
-    def plus(a, b):
-        return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
-
-    OClS[:, :, :, :] = jnp.full((nx, 1, n1r, BT), NEGINF, jnp.float32)
-    OCrS[:, :, :, :] = jnp.full((nx, 2, n1r, BT), NEGINF, jnp.float32)
-    OIrS[:, :, :, :] = jnp.full((nx, 2, n1r, BT), NEGINF, jnp.float32)
-    OClEf[:, :, :, :] = jnp.full((nx, 2, ip, BT), NEGINF, jnp.float32)
-    OCrEf[:, :, :, :] = jnp.full((nx, 1, ip, BT), NEGINF, jnp.float32)
-    OIlEf[:, :, :, :] = jnp.full((nx, 2, ip, BT), NEGINF, jnp.float32)
-
-    lengths = len_ref[0, :]
-    logz = logz_ref[0, :]
-    gout = gout_ref[0, :]
-    i_iota = lax.broadcasted_iota(jnp.int32, (n1r, BT), 0)
-    sel_nc = lax.broadcasted_iota(jnp.int32, (2, n1r, BT), 0) == NOCHILD
-
-    def grad_of(inside, outside):
-        if is_max:
-            ind = inside + outside >= logz[None, None, :] - _MAX_EPS
-            return jnp.where(ind, 1.0, 0.0) * gout[None, None, :]
-        return (
-            jnp.exp(jnp.minimum(inside + outside - logz[None, None, :], 88.0))
-            * gout[None, None, :]
-        )
-
-    def merge(u, fu):
-        """Combine the start- and end-indexed halves of OCl[u]/OCr[u]."""
-        ocl_nc = plus(OClS[u, 0, :, :],
-                      OClEf[fu, NOCHILD, pl.ds(u, n1r), :])
-        ocl_hc = OClEf[fu, HASCHILD, pl.ds(u, n1r), :]
-        chans = [None, None]
-        chans[NOCHILD] = ocl_nc
-        chans[HASCHILD] = ocl_hc
-        ocl_u = jnp.stack(chans)
-        ocr_nc = plus(OCrS[u, NOCHILD, :, :],
-                      OCrEf[fu, 0, pl.ds(u, n1r), :])
-        ocr_hc = OCrS[u, HASCHILD, :, :]
-        chans = [None, None]
-        chans[NOCHILD] = ocr_nc
-        chans[HASCHILD] = ocr_hc
-        ocr_u = jnp.stack(chans)
-        return ocl_u, ocr_u
-
-    def w_body(urev, _):
-        u = n1 - 1 - urev
-        fu = urev  # flipped row of width u
-
-        ocl_u, ocr_u = merge(u, fu)
-        # final-cell seed (O_Cr[length, 0, NC] = one) + single-root mask
-        at_final = (lengths[None, :] == u) & (i_iota == 0)
-        ocr_u = jnp.where(sel_nc & at_final[None],
-                          jnp.maximum(ocr_u, 0.0), ocr_u)
-        root_keep = (i_iota != 0) | (lengths[None, :] == u)
-        ocr_u = jnp.where(root_keep[None], ocr_u, NEGINF)
-
-        # OIl[u]/OIr[u]: E/S halves plus the same-step fresh terms
-        # (v1's t=0 push ocl_u*Cl[0,NC] and t=u-1 push ocr_u*CrE[0])
-        oil_u = plus(OIlEf[fu, :, pl.ds(u, n1r), :],
-                     ocl_u + ClN[0, 0, :, :][None])
-        cre0 = CrEF[n1 - 1, 0, pl.ds(u, n1r), :]
-        oir_u = plus(OIrS[u, :, :, :], ocr_u + cre0[None])
-
-        il_u = IlHF[fu, :, pl.ds(u, n1r), :]
-        ir_u = Ir[u, :, :, :]
-        gattL_ref[u, :, :, :] = grad_of(il_u, oil_u)
-        gattR_ref[u, :, :, :] = grad_of(ir_u, oir_u)
-
-        tl = oil_u + attL_ref[u]
-        tl = plus(tl[0], tl[1])  # [n1r, BT]
-        tr = oir_u + attR_ref[u]
-        tr = plus(tr[0], tr[1])
-
-        nck = (u + tch - 1) // tch
-        t_chunk = lax.broadcasted_iota(jnp.int32, (tch, 1, 1), 0)
-
-        def push_chunk(c, _):
-            t0 = c * tch
-            fb = fu + t0  # flipped row base: width u-t rows ascend with t
-
-            # 1. OIl[u-t, v, e=i+u] += ocl_u[v,i] * Cl[t, NC, i]
-            #    shifted to t in [1, ...): the t=0 term is the fresh
-            #    in-register fold above; overrun rows (t >= u) write
-            #    real values into flipped rows >= n1-1, never consumed.
-            clc = ClN[pl.ds(1 + t0, tch), 0, :, :]
-            val = ocl_u[None] + clc[:, None]
-            tgt = OIlEf[pl.ds(fb + 1, tch), :, pl.ds(u, n1r), :]
-            OIlEf[pl.ds(fb + 1, tch), :, pl.ds(u, n1r), :] = plus(tgt, val)
-
-            # 2. OCl[t, NC, i] += sum_v ocl_u[v,i] * Il[u-t, v, i+t]
-            #    (IlHF overrun rows are NEGINF -> value-preserving)
-            ilh = IlHF[pl.ds(fb, tch), :, pl.ds(u, n1r), :]
-            c2 = ocl_u[None] + ilh
-            c2 = plus(c2[:, 0], c2[:, 1])
-            tgt = OClS[pl.ds(t0, tch), 0, :, :]
-            OClS[pl.ds(t0, tch), 0, :, :] = plus(tgt, c2)
-
-            # 3. OIr[t+1, v, i] += ocr_u[v,i] * Cr[u-1-t, NC, i+1+t]
-            #    row t = u-1 is the fresh fold (cre0) -> masked here so
-            #    the own-row write stays value-preserving.
-            crn = CrEF[pl.ds(n1 - u + t0, tch), 0, pl.ds(u, n1r), :]
-            crn = jnp.where(t0 + t_chunk == u - 1, NEGINF, crn)
-            val3 = ocr_u[None] + crn[:, None]
-            tgt = OIrS[pl.ds(1 + t0, tch), :, :, :]
-            OIrS[pl.ds(1 + t0, tch), :, :, :] = plus(tgt, val3)
-
-            # 4. OCr[u-1-t, NC, e=i+u] += sum_v ocr_u[v,i] * Ir[t+1, v, i]
-            irc = Ir[pl.ds(1 + t0, tch), :, :, :]
-            c4 = ocr_u[None] + irc
-            c4 = plus(c4[:, 0], c4[:, 1])
-            tgt = OCrEf[pl.ds(n1 - u + t0, tch), 0, pl.ds(u, n1r), :]
-            OCrEf[pl.ds(n1 - u + t0, tch), 0, pl.ds(u, n1r), :] = \
-                plus(tgt, c4)
-
-            # 5/6. OCr[t, NC, i] += tl[i] * Cl[u-1-t, HC, i+1+t]
-            #      OCr[t, HC, i] += tr[i] * Cl[u-1-t, NC, i+1+t]
-            #      (per-valence slab RMWs: no mid-axis stack in-kernel)
-            clk = ClKF[pl.ds(n1 - u + t0, tch), :, pl.ds(u, n1r), :]
-            tgt = OCrS[pl.ds(t0, tch), NOCHILD, :, :]
-            OCrS[pl.ds(t0, tch), NOCHILD, :, :] = plus(
-                tgt, tl[None] + clk[:, HASCHILD])
-            tgt = OCrS[pl.ds(t0, tch), HASCHILD, :, :]
-            OCrS[pl.ds(t0, tch), HASCHILD, :, :] = plus(
-                tgt, tr[None] + clk[:, NOCHILD])
-
-            # 7. OCl[u-1-t, HC, e=i+u] += tl[i] * Cr[t, NC, i]
-            #    OCl[u-1-t, NC, e=i+u] += tr[i] * Cr[t, HC, i]
-            crc = Cr[pl.ds(t0, tch), :, :, :]
-            tgt = OClEf[pl.ds(n1 - u + t0, tch), HASCHILD,
-                        pl.ds(u, n1r), :]
-            OClEf[pl.ds(n1 - u + t0, tch), HASCHILD, pl.ds(u, n1r), :] = \
-                plus(tgt, tl[None] + crc[:, NOCHILD])
-            tgt = OClEf[pl.ds(n1 - u + t0, tch), NOCHILD,
-                        pl.ds(u, n1r), :]
-            OClEf[pl.ds(n1 - u + t0, tch), NOCHILD, pl.ds(u, n1r), :] = \
-                plus(tgt, tr[None] + crc[:, HASCHILD])
-            return 0
-
-        lax.fori_loop(0, nck, push_chunk, 0)
-        return 0
-
-    lax.fori_loop(0, n1 - 1, w_body, 0)
-
-    # width-0 attach-grad rows are not real updates
-    gattL_ref[0, :, :, :] = jnp.zeros((2, n1r, BT), jnp.float32)
-    gattR_ref[0, :, :, :] = jnp.zeros((2, n1r, BT), jnp.float32)
-
-    # seed (STOP decision) gradients: merge the u = 0 adjoint rows
-    ocl_0, ocr_0 = merge(0, n1 - 1)
-    gseedR_ref[:] = grad_of(seedR_ref[:, :, :], ocr_0)
-    gseedL_ref[:] = grad_of(seedL_ref[:, :, :], ocl_0)
-
-
-def _outside_v4_vmem_bytes(n1: int) -> int:
-    n1r = _round8(n1)
-    ip = _round8(n1 - 1 + n1r)
-    nx = n1 + TCH
-    u = lambda rows, V, cols: rows * V * cols * BT * 4
-    blocks = (
-        2 * u(n1, 2, n1r)      # attL/attR
-        + u(nx, 2, n1r)        # Cr
-        + u(nx, 1, n1r)        # Cl (NC slice)
-        + u(nx, 2, n1r)        # Ir
-        + u(nx, 2, ip)         # ClKF (block rows nx of fr)
-        + u(nx, 1, ip)         # CrEF
-        + u(nx, 2, ip)         # IlHF
-        + 2 * u(n1, 2, n1r)    # gatt out
-        + 4 * u(1, 2, n1r)     # seeds in + gseeds out
-        + 3 * BT * 4
-    )
-    scratch = (u(nx, 1, n1r) + u(nx, 2, ip) + u(nx, 2, n1r)
-               + u(nx, 1, ip) + u(nx, 2, ip) + u(nx, 2, n1r))
-    return blocks + scratch
-
-
-def _outside_v4_max_launch(n1: int) -> int:
-    if n1 < 2 + TCH:
-        return 0
-    if 2 * _outside_v4_vmem_bytes(n1) <= _V2_BUDGET:
-        return _MAX_LAUNCH_B
-    # single-tile launches near the VMEM ceiling faulted the v5e worker
-    # at ~93MB estimated (the compiler's spill stack comes on top), so
-    # the single-buffered fallback is capped well below it
-    if _outside_v4_vmem_bytes(n1) <= 64 * 1024 * 1024:
-        return BT
-    return 0
-
-
-def _pallas_outside_call_v4(attL, attR, lengths, gout, logz, seeds, charts,
-                            *, is_max, interpret):
-    n1, _, n1r, B = attL.shape
-    ip = _round8(n1 - 1 + n1r)
-    nx = n1 + TCH
-    Cr, Cl, Ir, _Il, ClKF, CrEF, IlHF = charts
-    ClN = Cl[:, NOCHILD:NOCHILD + 1]  # the kernel only reads Cl's NC
-    seedR, seedL = seeds
-
-    grid = (B // BT,)
-    att_spec, seed_spec, row_spec = _specs(n1, n1r)
-    cspec = lambda rows, V, cols: pl.BlockSpec(
-        (rows, V, cols, BT), lambda g: (0, 0, 0, g),
-        memory_space=pltpu.VMEM,
-    )
-    scr = lambda rows, V, cols: pltpu.VMEM((rows, V, cols, BT), jnp.float32)
-    kernel = functools.partial(_outside_kernel_v4, n1, n1r, ip, nx,
-                               V4_TCH, is_max)
-    gattL, gattR, gseedR, gseedL = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            att_spec, att_spec, row_spec, row_spec, row_spec,
-            cspec(nx, 2, n1r),  # Cr
-            cspec(nx, 1, n1r),  # ClN
-            cspec(nx, 2, n1r),  # Ir
-            cspec(nx, 2, ip),   # ClKF (window of fr rows)
-            cspec(nx, 1, ip),   # CrEF
-            cspec(nx, 2, ip),   # IlHF
-            seed_spec, seed_spec,
-        ],
-        out_specs=(att_spec, att_spec, seed_spec, seed_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
-            jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
-            jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
-            jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
-        ),
-        scratch_shapes=[
-            scr(nx, 1, n1r),  # OClS
-            scr(nx, 2, ip),   # OClEf
-            scr(nx, 2, n1r),  # OCrS
-            scr(nx, 1, ip),   # OCrEf
-            scr(nx, 2, ip),   # OIlEf
-            scr(nx, 2, n1r),  # OIrS
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=108 * 1024 * 1024
-        ),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=24 * n1 ** 3 * B,
-            bytes_accessed=(8 * n1 * n1 * 2 + 8 * n1 * 2 + 4) * B * 4,
-            transcendentals=0 if is_max else 8 * n1 ** 3 * B,
-        ),
-    )(attL, attR, lengths, gout, logz,
-      Cr, ClN, Ir, ClKF, CrEF, IlHF, seedR, seedL)
-    return gattL, gattR, gseedR, gseedL
-
-
 def _pallas_outside_call(attL, attR, lengths, gout, logz, charts, *,
-                         is_max, interpret, seeds=None):
+                         is_max, interpret):
     B_total = attL.shape[-1]
     n1 = attL.shape[0]
-    nc = len(charts)
-    v4_launch = (_outside_v4_max_launch(n1)
-                 if USE_V4_OUTSIDE and nc == 7 else 0)
-    if v4_launch and seeds is not None:
-        if B_total > v4_launch:
-            return _chunked(
-                lambda aL, aR, le, go, lz, sR, sL, *cs:
-                _pallas_outside_call(
-                    aL, aR, le, go, lz, cs,
-                    is_max=is_max, interpret=interpret, seeds=(sR, sL),
-                ),
-                4, attL, attR, lengths, gout, logz, *seeds, *charts,
-                chunk_b=v4_launch,
-            )
-        return _pallas_outside_call_v4(
-            attL, attR, lengths, gout, logz, seeds, charts,
-            is_max=is_max, interpret=interpret,
-        )
     charts = charts[:4]
-    v2_launch = _outside_v2_max_launch(n1) if USE_V2_OUTSIDE else 0
-    if v2_launch and seeds is not None:
-        if B_total > v2_launch:
-            return _chunked(
-                lambda aL, aR, le, go, lz, sR, sL, *cs:
-                _pallas_outside_call(
-                    aL, aR, le, go, lz, cs,
-                    is_max=is_max, interpret=interpret, seeds=(sR, sL),
-                ),
-                4, attL, attR, lengths, gout, logz, *seeds, *charts,
-                chunk_b=v2_launch,
-            )
-        return _pallas_outside_call_v2(
-            attL, attR, lengths, gout, logz, seeds, charts,
-            is_max=is_max, interpret=interpret,
-        )
     launch_b = _outside_max_launch(n1) or _MAX_LAUNCH_B
     if B_total > launch_b:
         return _chunked(
@@ -1792,22 +1131,18 @@ def _pallas_outside_call(attL, attR, lengths, gout, logz, charts, *,
         )
     n1, _, n1r, B = attL.shape
     cp = _outside_cp(n1)
-    # shifted reads must be direct slices: column-pad the saved charts
-    # only when the banded span cp exceeds their stored width (with the
-    # banded kernel usually cp == n1r and the charts stream in as
-    # saved — row padding from the v3 inside is carried along, those
-    # rows are simply never read)
-    if charts[0].shape[2] != cp:
-        charts = tuple(
-            jnp.pad(c, [(0, 0), (0, 0), (0, cp - c.shape[2]), (0, 0)],
-                    constant_values=NEGINF)
-            for c in charts
-        )
-    crows = charts[0].shape[0]
+    # column-pad the saved charts so shifted reads are direct slices
+    # (charts from the v3 inside carry TCH extra rows — the row trim
+    # fuses into this same pad copy)
+    charts = tuple(
+        jnp.pad(c[:n1], [(0, 0), (0, 0), (0, cp - n1r), (0, 0)],
+                constant_values=NEGINF)
+        for c in charts
+    )
     grid = (B // BT,)
     pchart = lambda: pltpu.VMEM((n1, 2, cp, BT), jnp.float32)
     att_spec, seed_spec, row_spec = _specs(n1, n1r)
-    pchart_spec = pl.BlockSpec((crows, 2, cp, BT), lambda g: (0, 0, 0, g),
+    pchart_spec = pl.BlockSpec((n1, 2, cp, BT), lambda g: (0, 0, 0, g),
                                memory_space=pltpu.VMEM)
     kernel = functools.partial(_outside_kernel, n1, n1r, cp, is_max)
     gattL, gattR, gseedR, gseedL = pl.pallas_call(
@@ -1881,17 +1216,7 @@ def _make_dmv_total(is_max: bool, interpret: bool):
         dec, attach, lengths, value, charts, attL, attR = res
         dec_dtype, attach_dtype = dec.dtype, attach.dtype
         B, n1 = attach.shape[:2]
-        n1r = _round8(n1)
         lrow = lengths.astype(jnp.int32)[None, :]
-        pad_i = [(0, 0), (0, n1r - n1), (0, 0)]
-        seedR = _pad_batch(jnp.pad(
-            jnp.transpose(dec.astype(jnp.float32)[:, :, RIGHT, :, STOP],
-                          (2, 1, 0)), pad_i, constant_values=NEGINF
-        ), NEGINF)
-        seedL = _pad_batch(jnp.pad(
-            jnp.transpose(dec.astype(jnp.float32)[:, :, LEFT, :, STOP],
-                          (2, 1, 0)), pad_i, constant_values=NEGINF
-        ), NEGINF)
         gattL, gattR, gseedR, gseedL = _pallas_outside_call(
             attL, attR,
             _pad_batch(lrow, 1),
@@ -1900,7 +1225,6 @@ def _make_dmv_total(is_max: bool, interpret: bool):
             charts,
             is_max=is_max,
             interpret=interpret,
-            seeds=(seedR, seedL),
         )
         g_dec, g_attach = _unprep_grads(
             gattL[..., :B], gattR[..., :B], gseedR[..., :B],

@@ -217,6 +217,15 @@ def deptree_total_fast(arc, lengths, kind: str = "log"):
     a DMV with free (zero) decisions and valence-independent attach
     scores -- the tree score reduces to the sum of arc scores. Labeled
     potentials are semiring-summed over labels first.
+
+    Dead-valence cost, measured on v5e (2026-08-17, differential
+    timing): the CRF argmax leg is 31% of MBR decode at b64/len10
+    (0.006 of 0.019 ms) and 36% at b128/len30 (0.067 of 0.188 ms) —
+    the duplicated valence channel roughly doubles that leg. A
+    single-valence kernel variant would recover at most ~0.03 ms per
+    decode batch, 1-2% of any realistic eval step, so the
+    specialization is deliberately NOT built; revisit only if decode
+    ever dominates an eval profile.
     """
     from ..ops import dmv_max_pallas, dmv_partition_pallas, pallas_available
     from ..ops.dmv_pallas import backward_fits_vmem
