@@ -118,9 +118,11 @@ def main(argv=None):
                         project=str(cfg.get("project", "vlgae_tpu")),
                         name=str(cfg.get("name", "run")),
                         config=cfg)
-    if cfg.get("wandb"):
-        # gradient/param histogram watching when a wandb run is live
-        # (ref: pl_callback.py:36-69 WatchModelWithWandb)
+    if cfg.get("wandb") and cfg.get("watch_model") is not None:
+        # gradient/param histogram watching — OPT-IN via a watch_model
+        # config block, mirroring the reference's explicit callback
+        # (ref: pl_callback.py:36-69 WatchModelWithWandb); it costs an
+        # extra backward every log_freq steps
         pipe.watcher = WandbWatcher(**dict(cfg.get("watch_model") or {}))
     pipe.normalize_embeddings("begin")
     min_lr_stop = float(trainer_cfg.get("min_lr_stop", 0.0) or 0.0)

@@ -225,6 +225,13 @@ class DependencyBoxRelConfig:
                 "gather_logit_mode='reduced' produces [B_txt, B_img] "
                 "caption logits; decode_grounding_mode must be 'on_img'"
             )
+        if self.match_kernel == "pallas" and self.train_match_chunk > 0:
+            raise ValueError(
+                "match_kernel='pallas' and train_match_chunk>0 are "
+                "mutually exclusive (the fused kernel replaces the "
+                "chunked stream); set train_match_chunk=0 or use "
+                "match_kernel='xla'"
+            )
         # NOTE fuse_replace: in the reference it only gates a dict copy
         # before mutations that are commented out (ref: joint.py:387);
         # behavior is identical either way, so it is accepted for recipe
@@ -495,14 +502,20 @@ class DependencyBoxRel(fnn.Module):
         CH = self.cfg.train_match_chunk
         mk = self.cfg.match_kernel
         from ..ops import pallas_available
+        from ..ops.match_pallas import match_maxes_fits, match_maxes_pallas
 
         on_tpu = pallas_available()
         use_pallas = mk == "pallas" or (
             mk == "auto" and on_tpu and self.cfg.bf16_matmul
         )
+        # shape gate, like every other Pallas path: fall back to the
+        # einsum when the kernel's VMEM footprint or q-unroll would not
+        # fit (e.g. word+alldep's (L+1)^2 queries, very large batches)
+        use_pallas = use_pallas and match_maxes_fits(
+            vis_b.shape[0], vis_b.shape[1], D2,
+            txt_b.shape[0], txt_b.shape[1],
+        )
         if use_pallas and CH <= 0:
-            from ..ops.match_pallas import match_maxes_pallas
-
             logit, logit_v = match_maxes_pallas(
                 vis_b, txt_b, not on_tpu  # interpret off-TPU (tests)
             )

@@ -42,6 +42,31 @@ def _rup(x, m):
     return (x + m - 1) // m * m
 
 
+# largest per-grid-step VMEM footprint the kernels may take (the v5e
+# has 128MB; leave room for double-buffering and the compiler's stack)
+_VMEM_BUDGET = 56 * 1024 * 1024
+# the q-loops are Python-unrolled: cap the unroll size
+_MAX_Q = 64
+
+
+def match_maxes_fits(A, V, D, B, Q) -> bool:
+    """Whether the fused kernel is applicable at this shape (callers
+    fall back to the XLA einsum path otherwise). Checks the Python
+    q-unroll size and the per-grid-step VMEM footprint of the larger
+    (backward) kernel: txtT + vis/dvis blocks + dm/dmv/im/iv + the
+    dtxt accumulator block + the in-kernel att/W temporaries."""
+    if Q > _MAX_Q:
+        return False
+    Vp = _rup(V, 8)
+    Dp = _rup(D, 128)
+    QBp = _rup(Q * B, 128)
+    per_img = Vp * Dp * (2 + 4) + (2 * QBp + 2 * Vp * B) * 4
+    shared = Dp * QBp * 2 + QBp * Dp * 4
+    temps = Vp * QBp * (4 + 2)  # f32 att (fwd) / bf16 W + slack (bwd)
+    # blocks are double-buffered by the grid pipeline; temporaries not
+    return 2 * (shared + per_img) + temps <= _VMEM_BUDGET
+
+
 def _fwd_kernel(Q, B, V, Vp, txtT_ref, vis_ref,
                 m_ref, im_ref, mv_ref, iv_ref):
     """Grid step = one image a: att = vis_a @ txt^T, both maxes."""

@@ -151,7 +151,13 @@ class Pipeline:
                 if isinstance(v, dict) and "_target_" in v
             }
             return MultiMetric(subs.pop("main", None), **subs)
-        return cls()
+        # pass scalar config kwargs through so overrides are never
+        # silently dropped (an unknown kwarg raises loudly)
+        kwargs = {
+            k: v for k, v in node.items()
+            if k != "_target_" and not isinstance(v, dict)
+        }
+        return cls(**kwargs)
 
     def _build_metrics(self):
         """Two independent instances (dev / test) of the configured
@@ -474,10 +480,16 @@ class Pipeline:
             init_phase and "train_init" in self.dm.datasets
         ) else "train"
         # ask the datamodule's collate for the (cached) warmup rule
-        # targets only during init epochs
-        self.dm.include_init_rules = (
-            init_phase and self.dep_cfg.init_method == "y"
-        )
+        # targets only during init epochs; once the warmup ends, drop
+        # the per-instance caches (O(L^2) host arrays per sentence —
+        # they would otherwise pin memory for the whole remaining run)
+        want_rules = init_phase and self.dep_cfg.init_method == "y"
+        if getattr(self.dm, "include_init_rules", False) and not want_rules:
+            for ds in getattr(self.dm, "datasets", {}).values():
+                for inst in ds:
+                    if isinstance(inst, dict):
+                        inst.pop("_init_rules", None)
+        self.dm.include_init_rules = want_rules
         alpha = jnp.asarray(self._alpha(epoch), jnp.float32)
         losses = []
         aux_sums: Dict[str, float] = {}
@@ -527,6 +539,17 @@ class Pipeline:
             gold = shard_batch(y, self.mesh)
             aux = None
             if accum <= 1:
+                if (self.watcher is not None
+                        and self.watcher.should_log(st.step)):
+                    # gradients of THIS update, i.e. at the pre-update
+                    # params (one extra backward every log_freq steps)
+                    wgrads = None
+                    if self.watcher.wants_gradients:
+                        _, wgrads = self._get_grad_step(
+                            shape_key, init_phase
+                        )(st.params, inputs, gold, sub, alpha)
+                    self.watcher.log_trees(st.step, params=st.params,
+                                           grads=wgrads)
                 fn = self._get_train_step(shape_key, init_phase)
                 st.params, st.opt_state, loss, aux = fn(
                     st.params, st.opt_state, inputs, gold, sub, alpha
@@ -541,6 +564,17 @@ class Pipeline:
                 )
                 pending_n += 1
                 if pending_n == accum:
+                    if (self.watcher is not None
+                            and self.watcher.should_log(st.step)):
+                        # the accumulated mean IS this update's gradient
+                        # — reuse it, no extra backward, one log per
+                        # optimizer step (not per microbatch)
+                        self.watcher.log_trees(
+                            st.step, params=st.params,
+                            grads=jax.tree_util.tree_map(
+                                lambda g: g / pending_n, pending_grads
+                            ) if self.watcher.wants_gradients else None,
+                        )
                     st.params, st.opt_state = self._get_apply_step()(
                         st.params, st.opt_state, pending_grads,
                         1.0 / pending_n,
@@ -548,15 +582,6 @@ class Pipeline:
                     pending_grads, pending_n = None, 0
                     st.step += 1
             losses.append(float(loss))
-            if self.watcher is not None and self.watcher.should_log(st.step):
-                wgrads = None
-                if self.watcher.wants_gradients:
-                    # one extra backward every log_freq steps
-                    _, wgrads = self._get_grad_step(shape_key, init_phase)(
-                        st.params, inputs, gold, sub, alpha
-                    )
-                self.watcher.log_trees(st.step, params=st.params,
-                                       grads=wgrads)
             if aux is not None:
                 # per-term loss telemetry (ref: pipeline.py:120-125 logs
                 # the detailed loss dict — nll / txt2vis / kl — per step)
