@@ -327,6 +327,30 @@ class DepDataModule(DataModule):
                 for i in range(len(token_vocab))
             ]
 
+    def _index_instance(self, inst):
+        """Vocab-index an instance ONCE and cache the id arrays on it —
+        the reference's fastNLP datasets are indexed once at setup
+        (ref: datamodule.py:189-204); re-running Python dict lookups per
+        batch per epoch is pure host-side waste."""
+        wv, tv = self.vocabs["word"], self.vocabs.get("tag")
+        kv = self.vocabs["token"]
+        cv = self.vocabs.get("char")
+        inst["_word_ids"] = np.array([wv[w] for w in inst["word"]],
+                                     np.int32)
+        inst["_token_ids"] = np.array([kv[t] for t in inst["token"]],
+                                      np.int32)
+        if self.use_tag:
+            inst["_tag_ids"] = np.array([tv[t] for t in inst["tag"]],
+                                        np.int32)
+        if self.use_char:
+            W = self.max_word_len
+            chars = np.zeros((len(inst["word"]), W), np.int32)
+            for i, w in enumerate(inst["word"]):
+                cs = [cv[c] for c in w.lower()[:W]]
+                chars[i, : len(cs)] = cs
+            inst["_char_ids"] = chars
+        return inst
+
     def collate(self, name, insts, pad_len):
         B, L = len(insts), pad_len
         x = {
@@ -341,19 +365,16 @@ class DepDataModule(DataModule):
             # fixed char width keeps jit shapes stable across batches
             x["char"] = np.zeros((B, L, self.max_word_len), np.int32)
         y = {"arc": np.zeros((B, L), np.int32)}
-        wv, tv = self.vocabs["word"], self.vocabs.get("tag")
-        kv = self.vocabs["token"]
-        cv = self.vocabs.get("char")
         for b, inst in enumerate(insts):
             n = inst["seq_len"]
-            x["word"][b, :n] = [wv[w] for w in inst["word"]]
-            x["token"][b, :n] = [kv[t] for t in inst["token"]]
+            if "_word_ids" not in inst:
+                self._index_instance(inst)
+            x["word"][b, :n] = inst["_word_ids"]
+            x["token"][b, :n] = inst["_token_ids"]
             if self.use_tag:
-                x["tag"][b, :n] = [tv[t] for t in inst["tag"]]
+                x["tag"][b, :n] = inst["_tag_ids"]
             if self.use_char:
-                for i, w in enumerate(inst["word"]):
-                    cs = [cv[c] for c in w.lower()[: self.max_word_len]]
-                    x["char"][b, i, : len(cs)] = cs
+                x["char"][b, :n] = inst["_char_ids"]
             y["arc"][b, :n] = inst["arc"]
         if self.include_init_rules and name in ("train", "train_init"):
             from ..models.dmv_init import generate_rule_1o
