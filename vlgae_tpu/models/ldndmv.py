@@ -198,20 +198,26 @@ class DiscriminativeNDMV(fnn.Module):
                                         deterministic=deterministic),
                             deterministic=deterministic)[None]
 
-        # attach: [b, n, n_token, dir, val], normalized over child states
-        attach_rule = jax.nn.log_softmax(
-            self.attach_scorer(h_parent, h_child), axis=2
+        # attach, token-states LAST: [b, n, dir, val, n_token] — the
+        # softmax/gather over the big state axis then run on the lane
+        # dimension (the middle-axis form cost two full layout-change
+        # copies per step, ~40% of the text-only step; see
+        # DMVFactorizedBilinear.tokens_last)
+        attach_rule_t = jax.nn.log_softmax(
+            self.attach_scorer(h_parent, h_child, tokens_last=True),
+            axis=-1,
         )
         if not cfg.extended_valence:
-            attach_rule = jnp.stack(
-                [attach_rule[..., 0], attach_rule[..., 0]], axis=-1
+            attach_rule_t = jnp.concatenate(
+                [attach_rule_t[:, :, :, :1], attach_rule_t[:, :, :, :1]],
+                axis=3,
             )
-        # gather child token states -> [b, n, n, dir, val]
+        # gather child token states -> [b, n, dir, val, n] -> [b, n, n, dir, val]
         attach_prob = jnp.take_along_axis(
-            attach_rule,
-            inputs["token"][:, None, :, None, None].astype(jnp.int32),
-            axis=2,
-        )
+            attach_rule_t,
+            inputs["token"][:, None, None, None, :].astype(jnp.int32),
+            axis=-1,
+        ).transpose(0, 1, 4, 2, 3)
         left_mask = jnp.tril(jnp.ones((n, n)), -1)[None, :, :, None]
         right_mask = jnp.triu(jnp.ones((n, n)), 1)[None, :, :, None]
         attach_prob = (
@@ -224,12 +230,13 @@ class DiscriminativeNDMV(fnn.Module):
             )
             attach_prob = jnp.where(bad[:, :, None, None], NEGINF, attach_prob)
         out["attach"] = attach_prob
-        out["attach_rule"] = attach_rule
+        # exported in the reference's [b, n, n_token, dir, val] order;
+        # DCE'd whenever nothing consumes it
+        out["attach_rule"] = attach_rule_t.transpose(0, 1, 4, 2, 3)
 
-        # dec: [b, n, state, dir, val] -> [b, n, dir, val, dec]
+        # dec: [b, n, dir, val, dec] straight from the scorer
         dec_prob = jax.nn.log_softmax(
-            jnp.transpose(self.dec_scorer(h_parent, h_dec), (0, 1, 3, 4, 2)),
-            axis=-1,
+            self.dec_scorer(h_parent, h_dec, tokens_last=True), axis=-1
         )
         out["dec"] = out["dec_rule"] = dec_prob
 

@@ -220,18 +220,29 @@ class DMVSkipConnectEncoder(fnn.Module):
 
 
 class DMVFactorizedBilinear(fnn.Module):
-    """Low-rank bilinear scorer (ref: dmv_spec.py:59-76)."""
+    """Low-rank bilinear scorer (ref: dmv_spec.py:59-76).
+
+    ``tokens_last=True`` emits the scored-states axis LAST
+    ([b, h, d, v, c] instead of [b, h, c, d, v]): downstream softmax /
+    gather over the big token-state axis then run on the lane dimension
+    — a middle-axis softmax over [b, n, 500, 2, 2] made XLA stage two
+    full layout-change copies per step (~40% of the measured text-only
+    train step).
+    """
 
     r: int = 64
 
     @fnn.compact
-    def __call__(self, x1, x2):
+    def __call__(self, x1, x2, tokens_last: bool = False):
         x1 = fnn.Dense(self.r, name="project1")(x1)
         x2 = fnn.Dense(self.r, name="project2")(x2)
         if x1.ndim == 5:
-            return jnp.einsum("bhdve,bcdve->bhcdv", x1, x2)
+            spec = "bhdve,bcdve->bhdvc" if tokens_last else \
+                "bhdve,bcdve->bhcdv"
+            return jnp.einsum(spec, x1, x2)
         if x1.ndim == 4:
-            return jnp.einsum("hdve,cdve->hcdv", x1, x2)
+            spec = "hdve,cdve->hdvc" if tokens_last else "hdve,cdve->hcdv"
+            return jnp.einsum(spec, x1, x2)
         raise NotImplementedError
 
 
