@@ -257,7 +257,7 @@ def bench_stretch(length=64, batch=1024, iters=16):
 
         return lambda: many(dec, attach, lengths)
 
-    dt = diff_time(make_many, iters, repeats=3)
+    dt = diff_time(make_many, iters, repeats=5)
     return batch / dt
 
 
