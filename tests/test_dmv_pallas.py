@@ -112,6 +112,48 @@ def test_pallas_v3_inside_fast_parity():
                                rtol=1e-3, atol=1e-5)
 
 
+def test_pallas_fused_bwd_parity(big_batch, monkeypatch):
+    """The fused fwd+bwd kernel (USE_FUSED=True default): at lengths
+    where its gate engages, grads must match BOTH the scan reference and
+    the save-charts + standalone-outside fallback, including a
+    non-trivial cotangent (fused computes unscaled grads and the VJP
+    wrapper applies the cotangent as a scale)."""
+    from vlgae_tpu.ops import dmv_pallas as dp
+
+    mdec, mattach, lengths = big_batch
+    n1 = mattach.shape[1]
+    assert dp.USE_FUSED and dp._fused_max_launch(n1) > 0
+    B = mattach.shape[0]
+    weights = jnp.asarray(np.linspace(0.5, 2.0, B))
+
+    def total_pallas(d, a):
+        return jnp.sum(weights * dmv_partition_pallas_interpret(d, a, lengths))
+
+    gd, ga = jax.grad(total_pallas, argnums=(0, 1))(mdec, mattach)
+
+    def total_scan(d, a):
+        return jnp.sum(weights * dmv_partition(d, a, lengths, LogSemiring))
+
+    wd, wa = jax.grad(total_scan, argnums=(0, 1))(mdec, mattach)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(wd),
+                               rtol=1e-3, atol=1e-5)
+
+    # fallback path (save-charts + standalone outside) must agree too
+    monkeypatch.setattr(dp, "USE_FUSED", False)
+    fb = dp._make_dmv_total(is_max=False, interpret=True)
+
+    def total_fb(d, a):
+        return jnp.sum(weights * fb(d, a, lengths))
+
+    fd, fa = jax.grad(total_fb, argnums=(0, 1))(mdec, mattach)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(fa),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(fd),
+                               rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_pallas_v3_inside_matches_scan(big_batch):
     """The chunked streaming (v3) inside fill: values and VJP parity at

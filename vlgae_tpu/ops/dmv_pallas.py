@@ -347,13 +347,19 @@ def _inside_fill_v3(n1, n1r, ip, fr, is_max, attL, attR, seedR, seedL,
     folded in-register and the ``Ir[w]`` row write is DEFERRED to after
     the complete-span reductions (a chunk at row ``w`` would otherwise
     read it: chunks round up past ``w - 1``).
+
+    The chart buffers may carry MORE than ``n1r`` columns (the fused
+    fwd+bwd kernel hands in outside-layout buffers padded to
+    ``round8(n1 + 7)``); the fill only ever touches the first ``n1r``
+    and leaves the rest at semiring zero.
     """
     nx = n1 + TCH
+    cw = Cr.shape[2]  # chart column capacity (>= n1r)
 
     def plus(a, b):
         return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
 
-    neg_chart = jnp.full((nx, 2, n1r, BT), NEGINF, jnp.float32)
+    neg_chart = jnp.full((nx, 2, cw, BT), NEGINF, jnp.float32)
     Cr[:, :, :, :] = neg_chart
     Cl[:, :, :, :] = neg_chart
     Ir[:, :, :, :] = neg_chart
@@ -366,8 +372,8 @@ def _inside_fill_v3(n1, n1r, ip, fr, is_max, attL, attR, seedR, seedL,
     CrEF[:, :, :, :] = neg_flip[:, :1]
     IlHF[:, :, :, :] = neg_flip
 
-    Cr[0, :, :, :] = seedR[:]
-    Cl[0, :, :, :] = seedL[:]
+    Cr[0, :, pl.ds(0, n1r), :] = seedR[:]
+    Cl[0, :, pl.ds(0, n1r), :] = seedL[:]
     ClKF[n1 - 1, :, pl.ds(0, n1r), :] = seedL[:]
     CrEF[n1 - 1, 0, pl.ds(0, n1r), :] = seedR[NOCHILD]
 
@@ -542,42 +548,42 @@ def _inside_kernel_save(n1, n1r, is_max,
 # ---------------------------------------------------------------------------
 
 
-def _outside_kernel(n1, n1r, cp, is_max,
-                    attL_ref, attR_ref, len_ref,
-                    gout_ref, logz_ref, Cr, Cl, Ir, Il,
-                    gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
-                    OCr, OCl, OIr, OIl):
-    """Outside pass over saved inside charts, walking widths downward.
+def _outside_fill(n1, n1r, is_max,
+                  attL_ref, attR_ref, lengths, gout, logz,
+                  Cr, Cl, Ir, Il,
+                  gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
+                  OCr, OCl, OIr, OIl):
+    """Outside pass over inside charts, walking widths downward.
 
     Adjoints ``O*`` are log-domain outside scores. For the log semiring
     the gradient of logZ w.r.t. a log-potential is
     ``exp(inside + outside - logZ)``; for the max semiring it is the
     on-best-path indicator. The incoming cotangent ``gout`` scales the
     final gradients. The inside charts (``Cr/Cl/Ir/Il``) are read-only
-    inputs saved by the forward, so the backward does not recompute the
-    inside pass.
+    here; they may carry extra padding rows beyond ``n1`` (never read).
 
-    Layout: the saved charts arrive COLUMN-PADDED to ``cp`` columns
-    (positions; NEGINF beyond ``n1r``), and the adjoints are kept in the
-    same padded layout — so every diagonal-shifted read/accumulate of
-    the reference's stripe trick is a direct dynamic-slice (read or RMW)
-    with no staging pads. Shifted accumulations may land in the padding
-    region; those cells are never read (they correspond to masked
-    positions, as in the old drop-beyond-n1r semantics).
+    Layout: charts and adjoints share a column capacity ``cp``
+    (positions; NEGINF beyond the valid span) — so every
+    diagonal-shifted read/accumulate of the reference's stripe trick is
+    a direct dynamic-slice (read or RMW) with no staging pads. Under
+    width-banding every shifted access spans at most ``n1 + 6``
+    columns, so ``cp >= round8(n1 + 7)`` suffices. Shifted
+    accumulations may land in the padding region; those cells are never
+    read (they correspond to masked positions).
+
+    ``lengths``/``gout``/``logz`` are ``[BT]`` arrays (logz = the log
+    partition or max score).
     """
+    cp = OCr.shape[2]
 
     def plus(a, b):
         return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
 
-    neg_all = jnp.full((n1, 2, cp, BT), NEGINF, jnp.float32)
+    neg_all = jnp.full(OCr.shape, NEGINF, jnp.float32)
     OCr[:, :, :, :] = neg_all
     OCl[:, :, :, :] = neg_all
     OIr[:, :, :, :] = neg_all
     OIl[:, :, :, :] = neg_all
-
-    lengths = len_ref[0, :]
-    logz = logz_ref[0, :]  # [BT] total (log partition or max score)
-    gout = gout_ref[0, :]
 
     def grad_of(inside, outside):
         if is_max:
@@ -707,6 +713,59 @@ def _outside_kernel(n1, n1r, cp, is_max,
                             OCr[0, :, pl.ds(0, n1r), :])
     gseedL_ref[:] = grad_of(Cl[0, :, pl.ds(0, n1r), :],
                             OCl[0, :, pl.ds(0, n1r), :])
+
+
+def _outside_kernel(n1, n1r, cp, is_max,
+                    attL_ref, attR_ref, len_ref,
+                    gout_ref, logz_ref, Cr, Cl, Ir, Il,
+                    gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
+                    OCr, OCl, OIr, OIl):
+    """Standalone outside kernel over charts SAVED by the forward (the
+    fallback when the fused fwd+bwd kernel does not fit VMEM)."""
+    del cp  # implied by the adjoint buffer shapes
+    _outside_fill(
+        n1, n1r, is_max, attL_ref, attR_ref,
+        len_ref[0, :], gout_ref[0, :], logz_ref[0, :],
+        Cr, Cl, Ir, Il,
+        gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
+        OCr, OCl, OIr, OIl,
+    )
+
+
+def _fused_kernel(n1, n1r, ip, fr, is_max,
+                  attL_ref, attR_ref, seedR_ref, seedL_ref, len_ref,
+                  out_ref, gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
+                  Cr, Cl, Ir, Il, ClKF, CrEF, IlHF,
+                  OCr, OCl, OIr, OIl):
+    """Fused forward + backward in ONE launch: the v3 banded inside fill
+    leaves all four charts resident in VMEM and the banded outside runs
+    straight over them with ``gout = 1`` — gradients are linear in the
+    cotangent, so the true cotangent is applied as a cheap elementwise
+    scale in the VJP wrapper.
+
+    vs the save-charts path this removes (per launch) the 4-chart HBM
+    write + re-read AND the XLA column-pad staging copies, and the VJP
+    residuals shrink from 4 charts to the 2 attach-grad tables. The
+    chart buffers are allocated in the outside's tight column layout
+    (``cp = round8(n1 + 7)``, enough under width-banding); the fill
+    only touches the first ``n1r`` columns. The tight layout is safe
+    here precisely because there is no pallas->pallas chart hand-off
+    (the hand-off is what crashed the v5e worker in round 3; see
+    ``_outside_cp``).
+    """
+    out = _inside_fill_v3(
+        n1, n1r, ip, fr, is_max, attL_ref, attR_ref, seedR_ref, seedL_ref,
+        len_ref, Cr, Cl, Ir, Il, ClKF, CrEF, IlHF,
+    )
+    out_ref[0, :] = out
+    ones = jnp.ones((BT,), jnp.float32)
+    _outside_fill(
+        n1, n1r, is_max, attL_ref, attR_ref,
+        len_ref[0, :], ones, out,
+        Cr, Cl, Ir, Il,
+        gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
+        OCr, OCl, OIr, OIl,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1171,6 +1230,103 @@ def _pallas_outside_call(attL, attR, lengths, gout, logz, charts, *,
     return gattL, gattR, gseedR, gseedL
 
 
+# Fused fwd+bwd kernel (see _fused_kernel). Flip to False to fall back to
+# the save-charts inside + standalone outside pair.
+USE_FUSED = True
+
+
+def _fused_cp(n1: int) -> int:
+    """Tight column capacity for the fused kernel's chart/adjoint
+    buffers: under width-banding every shifted access spans at most
+    ``n1 + 6`` columns (writes at ``1 + t + C - 1 <= n1 + 6``)."""
+    return max(_round8(n1 + 7), _round8(n1))
+
+
+def _fused_vmem_bytes(n1: int, grid: int) -> int:
+    """Per-launch VMEM for the fused kernel: 4 charts (row-padded to
+    ``nx``, tight-column ``cp``) + 4 adjoints + 3 flip buffers as
+    scratch; att/seed/len in-blocks and value/grad out-blocks."""
+    n1r = _round8(n1)
+    cp = _fused_cp(n1)
+    ip = _round8(n1 - 1 + n1r)
+    nx = n1 + TCH
+    fr = n1 + TCH
+    chart = nx * 2 * cp * BT * 4
+    adj = n1 * 2 * cp * BT * 4
+    flips = 5 * fr * ip * BT * 4
+    att = 2 * (n1 * 2 * n1r * BT * 4)
+    seeds = 2 * (2 * n1r * BT * 4)
+    rows = 2 * BT * 4  # lengths in, value out
+    buf = 2 if grid > 1 else 1
+    blocks = att + seeds + att + seeds + rows  # + gatt, gseed out-blocks
+    scratch = 4 * chart + 4 * adj + flips
+    return buf * blocks + scratch
+
+
+def _fused_max_launch(n1: int) -> int:
+    if n1 < 2 + TCH:  # v3 fill gate: tiny charts fall back
+        return 0
+    if _fused_vmem_bytes(n1, grid=2) <= _V2_BUDGET:
+        return _MAX_LAUNCH_B
+    if _fused_vmem_bytes(n1, grid=1) <= 96 * 1024 * 1024:
+        return BT
+    return 0
+
+
+def _pallas_fused_call(attL, attR, seedR, seedL, lengths, *, is_max,
+                       interpret):
+    """One launch computing the partition value AND the unscaled
+    gradients (cotangent 1). Returns (value[B], gattL, gattR, gseedR,
+    gseedL) in the diagonal layout."""
+    B_total = attL.shape[-1]
+    n1 = attL.shape[0]
+    launch_b = _fused_max_launch(n1)
+    if B_total > launch_b:
+        outs = _chunked(
+            lambda *a: _pallas_fused_call(*a, is_max=is_max,
+                                          interpret=interpret),
+            5, attL, attR, seedR, seedL, lengths, chunk_b=launch_b,
+        )
+        return outs
+    n1, _, n1r, B = attL.shape
+    cp = _fused_cp(n1)
+    ip = _round8(n1 - 1 + n1r)
+    fr = n1 + TCH
+    nx = n1 + TCH
+    grid = (B // BT,)
+    att_spec, seed_spec, row_spec = _specs(n1, n1r)
+    chart = lambda: pltpu.VMEM((nx, 2, cp, BT), jnp.float32)
+    adj = lambda: pltpu.VMEM((n1, 2, cp, BT), jnp.float32)
+    flip = lambda v: pltpu.VMEM((fr, v, ip, BT), jnp.float32)
+    kernel = functools.partial(_fused_kernel, n1, n1r, ip, fr, is_max)
+    out, gattL, gattR, gseedR, gseedL = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[att_spec, att_spec, seed_spec, seed_spec, row_spec],
+        out_specs=(row_spec, att_spec, att_spec, seed_spec, seed_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
+            jax.ShapeDtypeStruct((n1, 2, n1r, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, n1r, B), jnp.float32),
+        ),
+        scratch_shapes=[chart(), chart(), chart(), chart(),
+                        flip(2), flip(1), flip(2),
+                        adj(), adj(), adj(), adj()],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=36 * n1 ** 3 * B,
+            bytes_accessed=(4 * n1 * n1 * 2 + 8 * n1 * 2 + 4) * B * 4,
+            transcendentals=0 if is_max else 14 * n1 ** 3 * B,
+        ),
+    )(attL, attR, seedR, seedL, lengths)
+    return out[0], gattL, gattR, gseedR, gseedL
+
+
 def _pad_batch(x, fill):
     B = x.shape[-1]
     pad = (-B) % BT
@@ -1208,11 +1364,39 @@ def _make_dmv_total(is_max: bool, interpret: bool):
         return value, charts, attL, attR
 
     def _fwd(dec, attach, lengths):
-        B = attach.shape[0]
+        B, n1 = attach.shape[:2]
+        if USE_FUSED and _fused_max_launch(n1) > 0:
+            n1r = _round8(n1)
+            attL, attR, seedR, seedL = _prep_inputs(
+                dec.astype(jnp.float32), attach.astype(jnp.float32), n1r
+            )
+            lrow = lengths.astype(jnp.int32)[None, :]
+            value, gattL, gattR, gseedR, gseedL = _pallas_fused_call(
+                _pad_batch(attL, NEGINF), _pad_batch(attR, NEGINF),
+                _pad_batch(seedR, NEGINF), _pad_batch(seedL, NEGINF),
+                _pad_batch(lrow, 1),
+                is_max=is_max, interpret=interpret,
+            )
+            # 6-tuple residual = fused path (unscaled grads; see _bwd)
+            return value[:B], (dec, attach, gattL[..., :B], gattR[..., :B],
+                               gseedR[..., :B], gseedL[..., :B])
         value, charts, attL, attR = _call_inside(dec, attach, lengths, True)
         return value[:B], (dec, attach, lengths, value, charts, attL, attR)
 
     def _bwd(res, g):
+        if len(res) == 6:
+            # fused path: grads were computed in the forward launch with
+            # cotangent 1; they are linear in the cotangent, so apply it
+            # as an elementwise scale (indicator grads in the max
+            # semiring scale identically).
+            dec, attach, gattL, gattR, gseedR, gseedL = res
+            n1 = attach.shape[1]
+            gf = g.astype(jnp.float32)
+            g_dec, g_attach = _unprep_grads(
+                gattL * gf, gattR * gf, gseedR * gf, gseedL * gf, n1,
+            )
+            return (g_dec.astype(dec.dtype), g_attach.astype(attach.dtype),
+                    None)
         dec, attach, lengths, value, charts, attL, attR = res
         dec_dtype, attach_dtype = dec.dtype, attach.dtype
         B, n1 = attach.shape[:2]
