@@ -268,6 +268,17 @@ def _inside_fill_v2(n1, n1r, ip, is_max, attL, attR, seedR, seedL,
 TCH = 8  # chunk rows for the v3 streaming split-point reductions
 
 
+def _flip_cols(n1: int) -> int:
+    """Column capacity for the v3 end-indexed flip buffers. Flip reads
+    and writes index column ``e = w + i``; under width-banding the slab
+    width is ``C <= roundup(n1 - w, 8) <= n1 - w + 7``, so every access
+    spans columns ``< w + C <= n1 + 7``. (The pre-banding fills read
+    full ``n1r``-wide slabs at shift ``w`` and needed
+    ``round8(n1 - 1 + n1r)``; banding halves the flip footprint at
+    n1 = 65.)"""
+    return max(_round8(n1 + 7), _round8(n1))
+
+
 def _width_bands(n1, n1r, g=8):
     """Partition widths [1, n1) into bands sharing a STATIC column count.
 
@@ -921,7 +932,7 @@ def _v3_vmem_bytes(n1: int, save: bool, grid: int) -> int:
     """Per-launch VMEM estimate for the v3 inside kernel (row-padded
     charts nx = n1 + TCH; flip buffers fr rows instead of v2's 2*n1)."""
     n1r = _round8(n1)
-    ip = _round8(n1 - 1 + n1r)
+    ip = _flip_cols(n1)
     nx = n1 + TCH
     fr = n1 + TCH  # no row-tiling constraint; match v4's block rows exactly
     chart = nx * 2 * n1r * BT * 4
@@ -953,7 +964,7 @@ def _v3_max_launch(n1: int, save: bool) -> int:
 def _pallas_inside_call_v3(attL, attR, seedR, seedL, lengths, *, is_max,
                            interpret, save_charts: bool = False):
     n1, _, n1r, B = attL.shape
-    ip = _round8(n1 - 1 + n1r)
+    ip = _flip_cols(n1)
     fr = n1 + TCH  # no row-tiling constraint; match v4's block rows exactly
     nx = n1 + TCH
     grid = (B // BT,)
@@ -1248,7 +1259,7 @@ def _fused_vmem_bytes(n1: int, grid: int) -> int:
     scratch; att/seed/len in-blocks and value/grad out-blocks."""
     n1r = _round8(n1)
     cp = _fused_cp(n1)
-    ip = _round8(n1 - 1 + n1r)
+    ip = _flip_cols(n1)
     nx = n1 + TCH
     fr = n1 + TCH
     chart = nx * 2 * cp * BT * 4
@@ -1290,7 +1301,7 @@ def _pallas_fused_call(attL, attR, seedR, seedL, lengths, *, is_max,
         return outs
     n1, _, n1r, B = attL.shape
     cp = _fused_cp(n1)
-    ip = _round8(n1 - 1 + n1r)
+    ip = _flip_cols(n1)
     fr = n1 + TCH
     nx = n1 + TCH
     grid = (B // BT,)
