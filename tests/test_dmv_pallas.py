@@ -154,6 +154,38 @@ def test_pallas_fused_bwd_parity(big_batch, monkeypatch):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("ms_tables", [0, 2])
+def test_pallas_fused_ms_configs(big_batch, monkeypatch, ms_tables):
+    """The fused kernel's (max, scaled-sum) adjoint configs: VMEM
+    pressure at large n1 can force 2 (O_C pair only) or 0 (m,s) tables
+    instead of the 4 chosen at small n1 — pin grad parity for those
+    mixed configs by forcing the selector."""
+    from vlgae_tpu.ops import dmv_pallas as dp
+
+    mdec, mattach, lengths = big_batch
+    monkeypatch.setattr(dp, "_fused_ms_tables", lambda n1, grid: ms_tables)
+    fused = dp._make_dmv_total(is_max=False, interpret=True)
+    B = mattach.shape[0]
+    weights = jnp.asarray(np.linspace(0.5, 2.0, B))
+
+    def total_pallas(d, a):
+        return jnp.sum(weights * fused(d, a, lengths))
+
+    got = np.asarray(fused(mdec, mattach, lengths))
+    want = np.asarray(dmv_partition(mdec, mattach, lengths, LogSemiring))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    gd, ga = jax.grad(total_pallas, argnums=(0, 1))(mdec, mattach)
+
+    def total_scan(d, a):
+        return jnp.sum(weights * dmv_partition(d, a, lengths, LogSemiring))
+
+    wd, wa = jax.grad(total_scan, argnums=(0, 1))(mdec, mattach)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(wd),
+                               rtol=1e-3, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_pallas_v3_inside_matches_scan(big_batch):
     """The chunked streaming (v3) inside fill: values and VJP parity at

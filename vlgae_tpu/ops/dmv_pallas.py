@@ -338,6 +338,30 @@ def _stream_fin(carry, is_max):
     return jnp.maximum(m + jnp.log(s), NEGINF)
 
 
+def _ms_acc(m, s, x):
+    """Fold one value into a (running max, scaled sum) accumulator pair.
+
+    ``logaddexp`` with the log amortized away: whichever of the running
+    max ``m`` and the incoming ``x`` is smaller gets rescaled onto the
+    larger, so each accumulate costs ONE exp and NO log (``exp(-|d|)``
+    is the rescale factor for either side). The outside pass pays the
+    single ``log`` per cell only when a row is finalized (read) — an
+    O(n^2) count against the O(n^3) pushes. Semiring-zero cells are
+    (m = NEGINF, s = 0); pushes of NEGINF land as mass at the NEGINF
+    scale, which any real push later rescales to exactly 0.
+    """
+    d = x - m
+    e = jnp.exp(-jnp.abs(d))
+    s2 = jnp.where(d > 0.0, s * e + 1.0, s + e)
+    return jnp.maximum(m, x), s2
+
+
+def _ms_fin(m, s):
+    """Finalize an (m, s) accumulator pair to a log-domain value (one
+    log per cell; empty cells clamp back to the finite NEGINF)."""
+    return jnp.maximum(m + jnp.log(s), NEGINF)
+
+
 def _inside_fill_v3(n1, n1r, ip, fr, is_max, attL, attR, seedR, seedL,
                     lengths_row, Cr, Cl, Ir, Il, ClKF, CrEF, IlHF):
     """Chunked streaming inside fill (v3).
@@ -563,7 +587,8 @@ def _outside_fill(n1, n1r, is_max,
                   attL_ref, attR_ref, lengths, gout, logz,
                   Cr, Cl, Ir, Il,
                   gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
-                  OCr, OCl, OIr, OIl):
+                  OCr, OCl, OIr, OIl,
+                  SCr=None, SCl=None, SIr=None, SIl=None):
     """Outside pass over inside charts, walking widths downward.
 
     Adjoints ``O*`` are log-domain outside scores. For the log semiring
@@ -582,19 +607,55 @@ def _outside_fill(n1, n1r, is_max,
     accumulations may land in the padding region; those cells are never
     read (they correspond to masked positions).
 
+    ``S*``: optional scaled-sum buffers switching the matching adjoint
+    table to the (max, scaled sum) representation of :func:`_ms_acc` —
+    each of the 7 RMW pushes per (w, t) then costs one exp and NO log
+    (vs logaddexp's exp + log1p), and a row pays its single log at its
+    one finalization read. An adjoint row is only ever read at its own
+    width iteration (pushes flow strictly from larger to smaller
+    widths, except OIr[w] which receives its last push earlier in the
+    SAME iteration), so finalization is a pure read — no write-back.
+    ``SCr/SCl`` cover the O_C tables (5 of the 7 pushes), ``SIr/SIl``
+    the O_I tables; pass only what fits VMEM.
+
     ``lengths``/``gout``/``logz`` are ``[BT]`` arrays (logz = the log
     partition or max score).
     """
     cp = OCr.shape[2]
+    if is_max:  # max pushes are already log-free; (m,s) would add work
+        SCr = SCl = SIr = SIl = None
 
     def plus(a, b):
         return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
 
+    def rmw(T, S, idx, x):
+        """``T[idx] ⊕= x`` (semiring accumulate, (m,s)-aware)."""
+        if S is None:
+            T[idx] = plus(T[idx], x)
+        else:
+            m2, s2 = _ms_acc(T[idx], S[idx], x)
+            T[idx] = m2
+            S[idx] = s2
+
+    def fin(T, S, idx):
+        """Read ``T[idx]`` as a log-domain value."""
+        if S is None:
+            return T[idx]
+        return _ms_fin(T[idx], S[idx])
+
+    _all = slice(None)
     neg_all = jnp.full(OCr.shape, NEGINF, jnp.float32)
     OCr[:, :, :, :] = neg_all
     OCl[:, :, :, :] = neg_all
     OIr[:, :, :, :] = neg_all
     OIl[:, :, :, :] = neg_all
+    zero_all = jnp.zeros(OCr.shape, jnp.float32)
+    if SCr is not None:
+        SCr[:, :, :, :] = zero_all
+        SCl[:, :, :, :] = zero_all
+    if SIr is not None:
+        SIr[:, :, :, :] = zero_all
+        SIl[:, :, :, :] = zero_all
 
     def grad_of(inside, outside):
         if is_max:
@@ -621,7 +682,7 @@ def _outside_fill(n1, n1r, is_max,
 
             # -- final-cell init: O_Cr[length, 0, NC] = one ---------------
             at_final = (lengths[None, :] == w) & (i_iota == 0)
-            ocr_w = OCr[w, :, pl.ds(0, C), :]
+            ocr_w = fin(OCr, SCr, (w, _all, pl.ds(0, C), _all))
             ocr_w = jnp.where(
                 sel_nc & at_final[None], jnp.maximum(ocr_w, 0.0), ocr_w
             )
@@ -630,8 +691,11 @@ def _outside_fill(n1, n1r, is_max,
             # masked cell must not propagate into its inputs.
             root_keep = (i_iota != 0) | (lengths[None, :] == w)
             ocr_w = jnp.where(root_keep[None], ocr_w, NEGINF)
-            OCr[w, :, pl.ds(0, C), :] = ocr_w
-            ocl_w = OCl[w, :, pl.ds(0, C), :]
+            if SCr is None:
+                # plain mode keeps the write-back; (m,s) rows are never
+                # re-read after their own width iteration, so skip it.
+                OCr[w, :, pl.ds(0, C), :] = ocr_w
+            ocl_w = fin(OCl, SCl, (w, _all, pl.ds(0, C), _all))
 
             # ==== adjoints of the complete-span updates at width w ====
             # Cl[w,i,v] = sum_t Il[w-t,i+t,v] * Cl[t,i,NC]
@@ -642,25 +706,20 @@ def _outside_fill(n1, n1r, is_max,
                 cl_t = Cl[t, NOCHILD, pl.ds(0, C), :][None]
                 ir_t1 = Ir[t + 1, :, pl.ds(0, C), :]
                 # O_Il[w-t, i+t, v] ⊕= O_Cl[w,i,v] + Cl[t,i,NC]
-                OIl[w - t, :, pl.ds(t, C), :] = plus(
-                    OIl[w - t, :, pl.ds(t, C), :], ocl_w + cl_t
-                )
+                rmw(OIl, SIl, (w - t, _all, pl.ds(t, C), _all),
+                    ocl_w + cl_t)
                 # O_Cl[t, i, NC] ⊕= sum_v O_Cl[w,i,v] + Il[w-t,i+t,v]
                 c2 = ocl_w + il_wt
                 c2 = plus(c2[0], c2[1])
-                OCl[t, NOCHILD, pl.ds(0, C), :] = plus(
-                    OCl[t, NOCHILD, pl.ds(0, C), :], c2
-                )
+                rmw(OCl, SCl, (t, NOCHILD, pl.ds(0, C), _all), c2)
                 # O_Ir[t+1, i, v] ⊕= O_Cr[w,i,v] + Cr[w-1-t,i+1+t,NC]
-                OIr[t + 1, :, pl.ds(0, C), :] = plus(
-                    OIr[t + 1, :, pl.ds(0, C), :], ocr_w + cr_wt_nc[None]
-                )
+                rmw(OIr, SIr, (t + 1, _all, pl.ds(0, C), _all),
+                    ocr_w + cr_wt_nc[None])
                 # O_Cr[w-1-t, i+1+t, NC] ⊕= sum_v O_Cr[w,i,v] + Ir[t+1,i,v]
                 c4 = ocr_w + ir_t1
                 c4 = plus(c4[0], c4[1])
-                OCr[w - 1 - t, NOCHILD, pl.ds(1 + t, C), :] = plus(
-                    OCr[w - 1 - t, NOCHILD, pl.ds(1 + t, C), :], c4
-                )
+                rmw(OCr, SCr, (w - 1 - t, NOCHILD, pl.ds(1 + t, C), _all),
+                    c4)
                 return 0
 
             lax.fori_loop(0, w, t_body2, 0)
@@ -669,15 +728,15 @@ def _outside_fill(n1, n1r, is_max,
             # Il[w,i,v] = inner_l[w,i] + attL[w,i,v]. The attach-grad
             # rows are written FULL width (columns >= C read
             # semiring-zero adjoints and produce exact 0 gradients).
-            oil_full = OIl[w, :, pl.ds(0, n1r), :]
-            oir_full = OIr[w, :, pl.ds(0, n1r), :]
+            oil_full = fin(OIl, SIl, (w, _all, pl.ds(0, n1r), _all))
+            oir_full = fin(OIr, SIr, (w, _all, pl.ds(0, n1r), _all))
             il_w = Il[w, :, pl.ds(0, n1r), :]
             ir_w = Ir[w, :, pl.ds(0, n1r), :]
             gattL_ref[w, :, :, :] = grad_of(il_w, oil_full)
             gattR_ref[w, :, :, :] = grad_of(ir_w, oir_full)
 
-            oil_w = OIl[w, :, pl.ds(0, C), :]
-            oir_w = OIr[w, :, pl.ds(0, C), :]
+            oil_w = oil_full[:, :C, :]
+            oir_w = oir_full[:, :C, :]
             tmp_l = oil_w + attL_ref[w, :, pl.ds(0, C), :]
             tmp_l = plus(tmp_l[0], tmp_l[1])  # [C, BT]
             tmp_r = oir_w + attR_ref[w, :, pl.ds(0, C), :]
@@ -688,23 +747,18 @@ def _outside_fill(n1, n1r, is_max,
                 cr_nc = Cr[t, NOCHILD, pl.ds(0, C), :]
                 cr_hc = Cr[t, HASCHILD, pl.ds(0, C), :]
                 # O_Cr[t, i, NC] ⊕= tmp_l + Cl[w-1-t,i+1+t,HC]
-                OCr[t, NOCHILD, pl.ds(0, C), :] = plus(
-                    OCr[t, NOCHILD, pl.ds(0, C), :],
-                    tmp_l + cl_pair[HASCHILD],
-                )
+                rmw(OCr, SCr, (t, NOCHILD, pl.ds(0, C), _all),
+                    tmp_l + cl_pair[HASCHILD])
                 # O_Cr[t, i, HC] ⊕= tmp_r + Cl[w-1-t,i+1+t,NC]
-                OCr[t, HASCHILD, pl.ds(0, C), :] = plus(
-                    OCr[t, HASCHILD, pl.ds(0, C), :],
-                    tmp_r + cl_pair[NOCHILD],
-                )
+                rmw(OCr, SCr, (t, HASCHILD, pl.ds(0, C), _all),
+                    tmp_r + cl_pair[NOCHILD])
                 # O_Cl[w-1-t, i+1+t, HC] ⊕= tmp_l + Cr[t,i,NC]
                 # O_Cl[w-1-t, i+1+t, NC] ⊕= tmp_r + Cr[t,i,HC]
                 chans = [None, None]
                 chans[HASCHILD] = tmp_l + cr_nc
                 chans[NOCHILD] = tmp_r + cr_hc
-                OCl[w - 1 - t, :, pl.ds(1 + t, C), :] = plus(
-                    OCl[w - 1 - t, :, pl.ds(1 + t, C), :], jnp.stack(chans)
-                )
+                rmw(OCl, SCl, (w - 1 - t, _all, pl.ds(1 + t, C), _all),
+                    jnp.stack(chans))
                 return 0
 
             lax.fori_loop(0, w, t_body3, 0)
@@ -721,9 +775,9 @@ def _outside_fill(n1, n1r, is_max,
 
     # seed (STOP decision) gradients at width 0
     gseedR_ref[:] = grad_of(Cr[0, :, pl.ds(0, n1r), :],
-                            OCr[0, :, pl.ds(0, n1r), :])
+                            fin(OCr, SCr, (0, _all, pl.ds(0, n1r), _all)))
     gseedL_ref[:] = grad_of(Cl[0, :, pl.ds(0, n1r), :],
-                            OCl[0, :, pl.ds(0, n1r), :])
+                            fin(OCl, SCl, (0, _all, pl.ds(0, n1r), _all)))
 
 
 def _outside_kernel(n1, n1r, cp, is_max,
@@ -743,11 +797,11 @@ def _outside_kernel(n1, n1r, cp, is_max,
     )
 
 
-def _fused_kernel(n1, n1r, ip, fr, is_max,
+def _fused_kernel(n1, n1r, ip, fr, is_max, ms_tables,
                   attL_ref, attR_ref, seedR_ref, seedL_ref, len_ref,
                   out_ref, gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
                   Cr, Cl, Ir, Il, ClKF, CrEF, IlHF,
-                  OCr, OCl, OIr, OIl):
+                  OCr, OCl, OIr, OIl, *ms_refs):
     """Fused forward + backward in ONE launch: the v3 banded inside fill
     leaves all four charts resident in VMEM and the banded outside runs
     straight over them with ``gout = 1`` — gradients are linear in the
@@ -763,7 +817,18 @@ def _fused_kernel(n1, n1r, ip, fr, is_max,
     here precisely because there is no pallas->pallas chart hand-off
     (the hand-off is what crashed the v5e worker in round 3; see
     ``_outside_cp``).
+
+    ``ms_tables`` ∈ {0, 2, 4}: how many adjoint tables carry the
+    (max, scaled-sum) representation (see :func:`_ms_acc`) — 2 covers
+    the O_C pair (5 of the 7 pushes per (w, t)), 4 adds the O_I pair.
+    Each costs one extra adjoint-sized VMEM scratch buffer;
+    :func:`_fused_ms_tables` picks the most that fits.
     """
+    SCr = SCl = SIr = SIl = None
+    if ms_tables >= 2:
+        SCr, SCl = ms_refs[0], ms_refs[1]
+    if ms_tables >= 4:
+        SIr, SIl = ms_refs[2], ms_refs[3]
     out = _inside_fill_v3(
         n1, n1r, ip, fr, is_max, attL_ref, attR_ref, seedR_ref, seedL_ref,
         len_ref, Cr, Cl, Ir, Il, ClKF, CrEF, IlHF,
@@ -776,6 +841,7 @@ def _fused_kernel(n1, n1r, ip, fr, is_max,
         Cr, Cl, Ir, Il,
         gattL_ref, gattR_ref, gseedR_ref, gseedL_ref,
         OCr, OCl, OIr, OIl,
+        SCr=SCr, SCl=SCl, SIr=SIr, SIl=SIl,
     )
 
 
@@ -1253,10 +1319,11 @@ def _fused_cp(n1: int) -> int:
     return max(_round8(n1 + 7), _round8(n1))
 
 
-def _fused_vmem_bytes(n1: int, grid: int) -> int:
+def _fused_vmem_bytes(n1: int, grid: int, ms_tables: int = 0) -> int:
     """Per-launch VMEM for the fused kernel: 4 charts (row-padded to
-    ``nx``, tight-column ``cp``) + 4 adjoints + 3 flip buffers as
-    scratch; att/seed/len in-blocks and value/grad out-blocks."""
+    ``nx``, tight-column ``cp``) + 4 adjoints + 3 flip buffers +
+    ``ms_tables`` scaled-sum buffers as scratch; att/seed/len in-blocks
+    and value/grad out-blocks."""
     n1r = _round8(n1)
     cp = _fused_cp(n1)
     ip = _flip_cols(n1)
@@ -1270,16 +1337,28 @@ def _fused_vmem_bytes(n1: int, grid: int) -> int:
     rows = 2 * BT * 4  # lengths in, value out
     buf = 2 if grid > 1 else 1
     blocks = att + seeds + att + seeds + rows  # + gatt, gseed out-blocks
-    scratch = 4 * chart + 4 * adj + flips
+    scratch = 4 * chart + (4 + ms_tables) * adj + flips
     return buf * blocks + scratch
+
+
+def _fused_ms_tables(n1: int, grid: int) -> int:
+    """Most (m,s) adjoint tables that fit the launch budget: 4 (both
+    O_C and O_I pairs), 2 (O_C only — 5 of the 7 pushes), 0 (plain
+    logaddexp), or -1 (the fused kernel does not fit at all). At
+    n1 = 65 / BT = 128 the O_C pair fits (≈91 MB) but all four do not."""
+    budget = _V2_BUDGET if grid > 1 else 96 * 1024 * 1024
+    for ms in (4, 2, 0):
+        if _fused_vmem_bytes(n1, grid, ms) <= budget:
+            return ms
+    return -1
 
 
 def _fused_max_launch(n1: int) -> int:
     if n1 < 2 + TCH:  # v3 fill gate: tiny charts fall back
         return 0
-    if _fused_vmem_bytes(n1, grid=2) <= _V2_BUDGET:
+    if _fused_ms_tables(n1, grid=2) >= 0:
         return _MAX_LAUNCH_B
-    if _fused_vmem_bytes(n1, grid=1) <= 96 * 1024 * 1024:
+    if _fused_ms_tables(n1, grid=1) >= 0:
         return BT
     return 0
 
@@ -1305,11 +1384,13 @@ def _pallas_fused_call(attL, attR, seedR, seedL, lengths, *, is_max,
     fr = n1 + TCH
     nx = n1 + TCH
     grid = (B // BT,)
+    ms_tables = 0 if is_max else max(_fused_ms_tables(n1, B // BT), 0)
     att_spec, seed_spec, row_spec = _specs(n1, n1r)
     chart = lambda: pltpu.VMEM((nx, 2, cp, BT), jnp.float32)
     adj = lambda: pltpu.VMEM((n1, 2, cp, BT), jnp.float32)
     flip = lambda v: pltpu.VMEM((fr, v, ip, BT), jnp.float32)
-    kernel = functools.partial(_fused_kernel, n1, n1r, ip, fr, is_max)
+    kernel = functools.partial(_fused_kernel, n1, n1r, ip, fr, is_max,
+                               ms_tables)
     out, gattL, gattR, gseedR, gseedL = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1324,7 +1405,8 @@ def _pallas_fused_call(attL, attR, seedR, seedL, lengths, *, is_max,
         ),
         scratch_shapes=[chart(), chart(), chart(), chart(),
                         flip(2), flip(1), flip(2),
-                        adj(), adj(), adj(), adj()],
+                        adj(), adj(), adj(), adj()]
+        + [adj() for _ in range(ms_tables)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -1332,7 +1414,10 @@ def _pallas_fused_call(attL, attR, seedR, seedL, lengths, *, is_max,
         cost_estimate=pl.CostEstimate(
             flops=36 * n1 ** 3 * B,
             bytes_accessed=(4 * n1 * n1 * 2 + 8 * n1 * 2 + 4) * B * 4,
-            transcendentals=0 if is_max else 14 * n1 ** 3 * B,
+            # (m,s) pushes drop the log1p: ~1 transcendental instead of
+            # 2 on the converted tables' pushes
+            transcendentals=0 if is_max
+            else (14 - ms_tables) * n1 ** 3 * B,
         ),
     )(attL, attR, seedR, seedL, lengths)
     return out[0], gattL, gattR, gseedR, gseedL
