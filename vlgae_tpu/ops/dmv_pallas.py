@@ -350,10 +350,26 @@ def _ms_acc(m, s, x):
     (m = NEGINF, s = 0); pushes of NEGINF land as mass at the NEGINF
     scale, which any real push later rescales to exactly 0.
     """
-    d = x - m
+    return _ms_acc2(m, s, x, 1.0)
+
+
+def _ms_acc2(m, s, mx, sx):
+    """Fold an incoming (max ``mx``, scaled sum ``sx``) pair into the
+    (m, s) accumulator — still one exp, no log: the scale difference
+    rescales whichever side is smaller."""
+    d = mx - m
     e = jnp.exp(-jnp.abs(d))
-    s2 = jnp.where(d > 0.0, s * e + 1.0, s + e)
-    return jnp.maximum(m, x), s2
+    s2 = jnp.where(d > 0.0, s * e + sx, s + sx * e)
+    return jnp.maximum(m, mx), s2
+
+
+def _pair_ms(x0, x1):
+    """Combine two log values into an (m, s) pair: one exp, no log
+    (vs logaddexp's exp + log1p). The pair adds a log-domain offset by
+    addition on ``m`` alone, so downstream pushes stay log-free."""
+    mc = jnp.maximum(x0, x1)
+    sc = 1.0 + jnp.exp(-jnp.abs(x0 - x1))
+    return mc, sc
 
 
 def _ms_fin(m, s):
@@ -637,6 +653,14 @@ def _outside_fill(n1, n1r, is_max,
             T[idx] = m2
             S[idx] = s2
 
+    def rmw2(T, S, idx, mx, sx):
+        """``T[idx] ⊕= (mx, sx)`` — accumulate an incoming (max,
+        scaled-sum) pair from :func:`_pair_ms` without ever taking a
+        log (requires an (m,s) target)."""
+        m2, s2 = _ms_acc2(T[idx], S[idx], mx, sx)
+        T[idx] = m2
+        S[idx] = s2
+
     def fin(T, S, idx):
         """Read ``T[idx]`` as a log-domain value."""
         if S is None:
@@ -710,16 +734,26 @@ def _outside_fill(n1, n1r, is_max,
                     ocl_w + cl_t)
                 # O_Cl[t, i, NC] ⊕= sum_v O_Cl[w,i,v] + Il[w-t,i+t,v]
                 c2 = ocl_w + il_wt
-                c2 = plus(c2[0], c2[1])
-                rmw(OCl, SCl, (t, NOCHILD, pl.ds(0, C), _all), c2)
+                if SCl is None:
+                    rmw(OCl, SCl, (t, NOCHILD, pl.ds(0, C), _all),
+                        plus(c2[0], c2[1]))
+                else:
+                    # channel combine stays in (m,s) form: no log here
+                    rmw2(OCl, SCl, (t, NOCHILD, pl.ds(0, C), _all),
+                         *_pair_ms(c2[0], c2[1]))
                 # O_Ir[t+1, i, v] ⊕= O_Cr[w,i,v] + Cr[w-1-t,i+1+t,NC]
                 rmw(OIr, SIr, (t + 1, _all, pl.ds(0, C), _all),
                     ocr_w + cr_wt_nc[None])
                 # O_Cr[w-1-t, i+1+t, NC] ⊕= sum_v O_Cr[w,i,v] + Ir[t+1,i,v]
                 c4 = ocr_w + ir_t1
-                c4 = plus(c4[0], c4[1])
-                rmw(OCr, SCr, (w - 1 - t, NOCHILD, pl.ds(1 + t, C), _all),
-                    c4)
+                if SCr is None:
+                    rmw(OCr, SCr,
+                        (w - 1 - t, NOCHILD, pl.ds(1 + t, C), _all),
+                        plus(c4[0], c4[1]))
+                else:
+                    rmw2(OCr, SCr,
+                         (w - 1 - t, NOCHILD, pl.ds(1 + t, C), _all),
+                         *_pair_ms(c4[0], c4[1]))
                 return 0
 
             lax.fori_loop(0, w, t_body2, 0)
@@ -737,28 +771,50 @@ def _outside_fill(n1, n1r, is_max,
 
             oil_w = oil_full[:, :C, :]
             oir_w = oir_full[:, :C, :]
-            tmp_l = oil_w + attL_ref[w, :, pl.ds(0, C), :]
-            tmp_l = plus(tmp_l[0], tmp_l[1])  # [C, BT]
-            tmp_r = oir_w + attR_ref[w, :, pl.ds(0, C), :]
-            tmp_r = plus(tmp_r[0], tmp_r[1])
+            tl = oil_w + attL_ref[w, :, pl.ds(0, C), :]
+            tr = oir_w + attR_ref[w, :, pl.ds(0, C), :]
+            if SCr is not None:
+                # (m,s) targets: keep the valence combine as an (m,s)
+                # pair too — adding chart scores to the max alone is the
+                # log-domain offset, so the t_body3 pushes stay log-free
+                tml, tsl = _pair_ms(tl[0], tl[1])  # [C, BT]
+                tmr, tsr = _pair_ms(tr[0], tr[1])
+            else:
+                tmp_l = plus(tl[0], tl[1])  # [C, BT]
+                tmp_r = plus(tr[0], tr[1])
 
             def t_body3(t, _):
                 cl_pair = Cl[w - 1 - t, :, pl.ds(1 + t, C), :]
                 cr_nc = Cr[t, NOCHILD, pl.ds(0, C), :]
                 cr_hc = Cr[t, HASCHILD, pl.ds(0, C), :]
                 # O_Cr[t, i, NC] ⊕= tmp_l + Cl[w-1-t,i+1+t,HC]
-                rmw(OCr, SCr, (t, NOCHILD, pl.ds(0, C), _all),
-                    tmp_l + cl_pair[HASCHILD])
                 # O_Cr[t, i, HC] ⊕= tmp_r + Cl[w-1-t,i+1+t,NC]
-                rmw(OCr, SCr, (t, HASCHILD, pl.ds(0, C), _all),
-                    tmp_r + cl_pair[NOCHILD])
                 # O_Cl[w-1-t, i+1+t, HC] ⊕= tmp_l + Cr[t,i,NC]
                 # O_Cl[w-1-t, i+1+t, NC] ⊕= tmp_r + Cr[t,i,HC]
-                chans = [None, None]
-                chans[HASCHILD] = tmp_l + cr_nc
-                chans[NOCHILD] = tmp_r + cr_hc
-                rmw(OCl, SCl, (w - 1 - t, _all, pl.ds(1 + t, C), _all),
-                    jnp.stack(chans))
+                if SCr is not None:
+                    rmw2(OCr, SCr, (t, NOCHILD, pl.ds(0, C), _all),
+                         tml + cl_pair[HASCHILD], tsl)
+                    rmw2(OCr, SCr, (t, HASCHILD, pl.ds(0, C), _all),
+                         tmr + cl_pair[NOCHILD], tsr)
+                    mchan = [None, None]
+                    schan = [None, None]
+                    mchan[HASCHILD] = tml + cr_nc
+                    schan[HASCHILD] = tsl
+                    mchan[NOCHILD] = tmr + cr_hc
+                    schan[NOCHILD] = tsr
+                    rmw2(OCl, SCl,
+                         (w - 1 - t, _all, pl.ds(1 + t, C), _all),
+                         jnp.stack(mchan), jnp.stack(schan))
+                else:
+                    rmw(OCr, SCr, (t, NOCHILD, pl.ds(0, C), _all),
+                        tmp_l + cl_pair[HASCHILD])
+                    rmw(OCr, SCr, (t, HASCHILD, pl.ds(0, C), _all),
+                        tmp_r + cl_pair[NOCHILD])
+                    chans = [None, None]
+                    chans[HASCHILD] = tmp_l + cr_nc
+                    chans[NOCHILD] = tmp_r + cr_hc
+                    rmw(OCl, SCl, (w - 1 - t, _all, pl.ds(1 + t, C), _all),
+                        jnp.stack(chans))
                 return 0
 
             lax.fori_loop(0, w, t_body3, 0)
