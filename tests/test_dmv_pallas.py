@@ -154,16 +154,21 @@ def test_pallas_fused_bwd_parity(big_batch, monkeypatch):
                                rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("ms_tables", [0, 2])
-def test_pallas_fused_ms_configs(big_batch, monkeypatch, ms_tables):
+@pytest.mark.parametrize("ms_tables,ms_comb", [(0, False), (2, False),
+                                               (2, True), (4, True)])
+def test_pallas_fused_ms_configs(big_batch, monkeypatch, ms_tables, ms_comb):
     """The fused kernel's (max, scaled-sum) adjoint configs: VMEM
     pressure at large n1 can force 2 (O_C pair only) or 0 (m,s) tables
     instead of the 4 chosen at small n1 — pin grad parity for those
-    mixed configs by forcing the selector."""
+    mixed configs by forcing the selector. ``ms_comb`` forces both sides
+    of the size-gated (m,s) channel-combine form (production: plain
+    combines below MS_COMBINE_MIN_N1, (m,s) pairs above — the fixture's
+    n1 sits below the gate, so the True cases emulate the len64 path)."""
     from vlgae_tpu.ops import dmv_pallas as dp
 
     mdec, mattach, lengths = big_batch
     monkeypatch.setattr(dp, "_fused_ms_tables", lambda n1, grid: ms_tables)
+    monkeypatch.setattr(dp, "MS_COMBINE_MIN_N1", 0 if ms_comb else 10**9)
     fused = dp._make_dmv_total(is_max=False, interpret=True)
     B = mattach.shape[0]
     weights = jnp.asarray(np.linspace(0.5, 2.0, B))

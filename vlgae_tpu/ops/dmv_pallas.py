@@ -363,6 +363,13 @@ def _ms_acc2(m, s, mx, sx):
     return jnp.maximum(m, mx), s2
 
 
+# Minimum chart size (n1 = N + 1) at which the outside pass keeps its
+# channel combines in (m,s) form (see _outside_fill.ms_comb for the
+# measured rationale). len30 (n1=31) measured below this bar, len64
+# (n1=65) above it; 48 is the untested midpoint.
+MS_COMBINE_MIN_N1 = 48
+
+
 def _pair_ms(x0, x1):
     """Combine two log values into an (m, s) pair: one exp, no log
     (vs logaddexp's exp + log1p). The pair adds a log-domain offset by
@@ -640,6 +647,14 @@ def _outside_fill(n1, n1r, is_max,
     cp = OCr.shape[2]
     if is_max:  # max pushes are already log-free; (m,s) would add work
         SCr = SCl = SIr = SIl = None
+    # Measured (round 3, same-window A/B): keeping the c2/c4/tmp channel
+    # combines in (m,s) form wins at len64 (+7-10%: 226K -> 241-249K
+    # sent/s) but LOSES ~10% at len30 (1.50-1.70M -> 1.36-1.52M): at
+    # small bands the doubled (m,s)-pair slab traffic outweighs the
+    # saved log1p. Gate the combine representation on chart size; the
+    # (m,s) push targets themselves stay on whenever the selector
+    # enables them.
+    ms_comb = SCr is not None and n1 >= MS_COMBINE_MIN_N1
 
     def plus(a, b):
         return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
@@ -734,7 +749,7 @@ def _outside_fill(n1, n1r, is_max,
                     ocl_w + cl_t)
                 # O_Cl[t, i, NC] ⊕= sum_v O_Cl[w,i,v] + Il[w-t,i+t,v]
                 c2 = ocl_w + il_wt
-                if SCl is None:
+                if not ms_comb:
                     rmw(OCl, SCl, (t, NOCHILD, pl.ds(0, C), _all),
                         plus(c2[0], c2[1]))
                 else:
@@ -746,7 +761,7 @@ def _outside_fill(n1, n1r, is_max,
                     ocr_w + cr_wt_nc[None])
                 # O_Cr[w-1-t, i+1+t, NC] ⊕= sum_v O_Cr[w,i,v] + Ir[t+1,i,v]
                 c4 = ocr_w + ir_t1
-                if SCr is None:
+                if not ms_comb:
                     rmw(OCr, SCr,
                         (w - 1 - t, NOCHILD, pl.ds(1 + t, C), _all),
                         plus(c4[0], c4[1]))
@@ -773,7 +788,7 @@ def _outside_fill(n1, n1r, is_max,
             oir_w = oir_full[:, :C, :]
             tl = oil_w + attL_ref[w, :, pl.ds(0, C), :]
             tr = oir_w + attR_ref[w, :, pl.ds(0, C), :]
-            if SCr is not None:
+            if ms_comb:
                 # (m,s) targets: keep the valence combine as an (m,s)
                 # pair too — adding chart scores to the max alone is the
                 # log-domain offset, so the t_body3 pushes stay log-free
@@ -791,7 +806,7 @@ def _outside_fill(n1, n1r, is_max,
                 # O_Cr[t, i, HC] ⊕= tmp_r + Cl[w-1-t,i+1+t,NC]
                 # O_Cl[w-1-t, i+1+t, HC] ⊕= tmp_l + Cr[t,i,NC]
                 # O_Cl[w-1-t, i+1+t, NC] ⊕= tmp_r + Cr[t,i,HC]
-                if SCr is not None:
+                if ms_comb:
                     rmw2(OCr, SCr, (t, NOCHILD, pl.ds(0, C), _all),
                          tml + cl_pair[HASCHILD], tsl)
                     rmw2(OCr, SCr, (t, HASCHILD, pl.ds(0, C), _all),
