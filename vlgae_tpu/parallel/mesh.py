@@ -86,7 +86,12 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     sharding = NamedSharding(mesh, P("data"))
 
     def put(x):
-        return jax.device_put(jnp.asarray(x), sharding)
+        # device_put straight from the host buffer: going through
+        # jnp.asarray first would commit the array to device 0 and turn
+        # the sharded put into a device->device scatter
+        return jax.device_put(
+            x if isinstance(x, jax.Array) else np.asarray(x), sharding
+        )
 
     return jax.tree_util.tree_map(put, batch)
 

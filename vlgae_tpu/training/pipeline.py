@@ -491,10 +491,19 @@ class Pipeline:
                         inst.pop("_init_rules", None)
         self.dm.include_init_rules = want_rules
         alpha = jnp.asarray(self._alpha(epoch), jnp.float32)
-        losses = []
-        aux_sums: Dict[str, float] = {}
+        # loss/aux accumulate as DEVICE scalars (running sums) and are
+        # fetched once per window / epoch: a per-step float()/device_get
+        # would block the host on every step and defeat JAX's async
+        # dispatch (the host could no longer overlap collate+padding of
+        # batch i+1 with device compute of batch i). The progress-bar
+        # postfix below doubles as a bounded sync every ``log_every``
+        # steps so dispatch can't run unboundedly ahead.
+        loss_sum = None  # device scalar
+        loss_n = 0
+        last_loss = None  # device scalar for the bar postfix
+        aux_sums: Dict[str, Any] = {}  # device scalars
         aux_n = 0
-        win_sums: Dict[str, float] = {}
+        win_sums: Dict[str, Any] = {}  # device scalars
         win_n = 0
         t0 = time.time()
         sampler_len = len(self.dm.make_sampler(split))
@@ -521,8 +530,8 @@ class Pipeline:
                 # expose the mid-epoch window's per-term loss means so
                 # the mid-epoch log line carries them
                 self.window_train_terms = {
-                    f"train/{k}": v / max(win_n, 1)
-                    for k, v in win_sums.items()
+                    f"train/{k}": float(v) / max(win_n, 1)
+                    for k, v in jax.device_get(win_sums).items()
                 }
                 win_sums, win_n = {}, 0
                 val_fn()
@@ -581,30 +590,36 @@ class Pipeline:
                     )
                     pending_grads, pending_n = None, 0
                     st.step += 1
-            losses.append(float(loss))
+            loss_sum = loss if loss_sum is None else loss_sum + loss
+            loss_n += 1
+            last_loss = loss
             if aux is not None:
                 # per-term loss telemetry (ref: pipeline.py:120-125 logs
-                # the detailed loss dict — nll / txt2vis / kl — per step)
-                for k, v in jax.device_get(aux).items():
-                    v = float(v)
-                    aux_sums[k] = aux_sums.get(k, 0.0) + v
-                    win_sums[k] = win_sums.get(k, 0.0) + v
+                # the detailed loss dict — nll / txt2vis / kl — per
+                # step); sums stay on device until the window/epoch read
+                for k, v in aux.items():
+                    aux_sums[k] = v if k not in aux_sums else aux_sums[k] + v
+                    win_sums[k] = v if k not in win_sums else win_sums[k] + v
                 aux_n += 1
                 win_n += 1
             if hasattr(bar, "set_postfix_str") and (i % log_every == 0):
-                bar.set_postfix_str(f"loss={losses[-1]:.4f}")
+                # float() here is the loop's only per-step-bounded host
+                # sync: it waits for step i, capping dispatch run-ahead
+                bar.set_postfix_str(f"loss={float(last_loss):.4f}")
         if pending_grads is not None and pending_n:
             st.params, st.opt_state = self._get_apply_step()(
                 st.params, st.opt_state, pending_grads, 1.0 / pending_n
             )
             st.step += 1
         stats = {
-            "train/loss": float(np.mean(losses)) if losses else 0.0,
+            "train/loss": (
+                float(loss_sum) / loss_n if loss_n else 0.0
+            ),
             "train/time": time.time() - t0,
             "train/init_phase": init_phase,
         }
-        for k, v in aux_sums.items():
-            stats[f"train/{k}"] = v / max(aux_n, 1)
+        for k, v in jax.device_get(aux_sums).items():
+            stats[f"train/{k}"] = float(v) / max(aux_n, 1)
         return stats
 
     def evaluate(self, split: str = "dev", metric_idx: int = 0):
