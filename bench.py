@@ -102,7 +102,7 @@ def bench_tpu():
 
         return lambda: many(dec, attach, lengths, noise)
 
-    dt = diff_time(make_many, 128, repeats=3)
+    dt = diff_time(make_many, 128, repeats=5)
     return BATCH / dt, dt
 
 
@@ -344,7 +344,7 @@ def bench_train_step(B=64, L=10, P=36, iters=64):
 
         return lambda: many(params, opt_state, jax.random.key(1))
 
-    dt = diff_time(make_many, iters, repeats=3)
+    dt = diff_time(make_many, iters, repeats=5)
     return B / dt
 
 

@@ -632,14 +632,8 @@ class Pipeline:
         alpha = jnp.asarray(
             self._alpha(self.state.epoch if self.state else 0), jnp.float32
         )
-        for x, y in self.dm.batches(split, shuffle=False):
-            xp, real = pad_batch_to_devices(x, self.n_devices, pow2=True)
-            yp, _ = pad_batch_to_devices(y, self.n_devices, pow2=True)
-            shape_key = tuple((k, v.shape) for k, v in sorted(xp.items()))
-            fn = self._get_eval_step(shape_key)
-            inputs = shard_batch(xp, self.mesh)
-            gold = shard_batch(yp, self.mesh)
-            res = fn(self.state.params, inputs, gold, alpha)
+        def consume(res, x, y, real):
+            nonlocal loss_sum, token_sum
             res = {k: np.asarray(v) for k, v in res.items()}
             res = {k: v[:real] if (hasattr(v, "shape") and v.ndim > 0
                                    and v.shape[0] >= real and k != "vis_split")
@@ -682,6 +676,26 @@ class Pipeline:
                     tf = predict["txt_to_factor"][j]
                     rec["txt_to_factor"] = tf
                 all_outputs[int(sid)] = rec
+
+        # dispatch-ahead pipelining: keep up to 2 eval steps in flight
+        # so device compute (and, on remote backends, the dispatch round
+        # trip) overlaps the host-side metric/prediction assembly of
+        # earlier batches; consume() is the only point that blocks
+        pending: List[tuple] = []
+        for x, y in self.dm.batches(split, shuffle=False):
+            xp, real = pad_batch_to_devices(x, self.n_devices, pow2=True)
+            yp, _ = pad_batch_to_devices(y, self.n_devices, pow2=True)
+            shape_key = tuple((k, v.shape) for k, v in sorted(xp.items()))
+            fn = self._get_eval_step(shape_key)
+            inputs = shard_batch(xp, self.mesh)
+            gold = shard_batch(yp, self.mesh)
+            pending.append(
+                (fn(self.state.params, inputs, gold, alpha), x, y, real)
+            )
+            if len(pending) > 2:
+                consume(*pending.pop(0))
+        for entry in pending:
+            consume(*entry)
         # multi-host: sum metric states over DCN, merge predictions by
         # sample id (ref: pipeline.py:234-240, metric.py:21-26);
         # identity under the single-controller runtime
