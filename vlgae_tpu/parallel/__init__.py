@@ -10,6 +10,7 @@ gradient all-reduce automatically from the sharding annotations.
 from .mesh import (
     DEFAULT_MODEL_RULES,
     data_parallel_mesh,
+    fsdp_leaf_spec,
     gather_predictions,
     make_parallel_step,
     pad_batch_to_devices,
@@ -22,6 +23,7 @@ from .mesh import (
 
 __all__ = [
     "DEFAULT_MODEL_RULES",
+    "fsdp_leaf_spec",
     "shard_params",
     "tree_shardings",
     "data_parallel_mesh",

@@ -59,17 +59,39 @@ def param_spec(name: str, rules: Sequence[Tuple[str, P]]) -> P:
     return P()
 
 
+def fsdp_leaf_spec(x, dp: int, min_size: int = 1 << 16) -> P:
+    """ZeRO-style fully-sharded spec for one leaf: shard the largest
+    axis divisible by the 'data' mesh size, replicate small/indivisible
+    leaves. Shape-based (not name-based): optimizer moments mirror the
+    param shapes, so the same function shards `mu`/`nu` identically and
+    XLA derives the all-gather-before-use / reduce-scatter-of-grads
+    pattern from the annotations alone (scaling-book recipe; the
+    reference is single-GPU DDP with no parameter sharding)."""
+    shape = getattr(x, "shape", ())
+    if dp <= 1 or len(shape) == 0 or int(np.prod(shape)) < min_size:
+        return P()
+    for a in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if shape[a] % dp == 0:
+            return P(*([None] * a + ["data"]))
+    return P()
+
+
 def shard_params(tree, mesh: Mesh,
-                 rules: Sequence[Tuple[str, P]] = ()):
+                 rules: Sequence[Tuple[str, P]] = (),
+                 fsdp: bool = False, fsdp_min_size: int = 1 << 16):
     """Device_put a param (or optimizer-state) tree with per-leaf
-    shardings from regex rules; unmatched leaves replicate. Optimizer
-    states mirror the param tree inside their own structure, so the
-    same rules match their `mu`/`nu` leaves too."""
+    shardings from regex rules; unmatched leaves replicate — or, with
+    ``fsdp``, fully shard over 'data' (tensor-parallel rules win where
+    both match). Optimizer states mirror the param tree inside their
+    own structure, so the same rules match their `mu`/`nu` leaves too."""
     if "model" not in mesh.axis_names or mesh.shape.get("model", 1) == 1:
         rules = ()
+    dp = mesh.shape.get("data", 1)
 
     def put(path, x):
         spec = param_spec(_path_name(path), rules)
+        if fsdp and spec == P():
+            spec = fsdp_leaf_spec(x, dp, fsdp_min_size)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, tree)

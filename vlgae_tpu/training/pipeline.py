@@ -97,6 +97,13 @@ class Pipeline:
         self.mesh = data_parallel_mesh(devices, model=mp)
         self.n_devices = len(self.mesh.devices.reshape(-1))
         self._rules = DEFAULT_MODEL_RULES if mp > 1 else ()
+        # trainer.fsdp: ZeRO-style full sharding of params + optimizer
+        # moments over 'data' (large leaves only; TP rules win). XLA
+        # turns the annotations into all-gather-on-use/reduce-scatter.
+        self._fsdp = bool(cfg.get("trainer", {}).get("fsdp", False))
+        self._fsdp_min = int(
+            cfg.get("trainer", {}).get("fsdp_min_size", 1 << 16)
+        )
         self._repl = NamedSharding(self.mesh, PartitionSpec())
         self._data = NamedSharding(self.mesh, PartitionSpec("data"))
         # per-leaf param/opt shardings; filled by setup_optimizer
@@ -212,8 +219,10 @@ class Pipeline:
         self._schedule = schedule
         self.plateau = plateau
         opt_state = tx.init(params)
-        params = shard_params(params, self.mesh, self._rules)
-        opt_state = shard_params(opt_state, self.mesh, self._rules)
+        params = shard_params(params, self.mesh, self._rules,
+                              fsdp=self._fsdp, fsdp_min_size=self._fsdp_min)
+        opt_state = shard_params(opt_state, self.mesh, self._rules,
+                                 fsdp=self._fsdp, fsdp_min_size=self._fsdp_min)
         self._pshard = tree_shardings(params)
         self._oshard = tree_shardings(opt_state)
         self.state = TrainState(params, opt_state, 0, 0, rng)
@@ -830,10 +839,12 @@ class Pipeline:
             }
             restored = ckptr.restore(path, target=target)
             self.state.params = shard_params(
-                restored["params"], self.mesh, self._rules)
+                restored["params"], self.mesh, self._rules,
+                fsdp=self._fsdp, fsdp_min_size=self._fsdp_min)
             if load_training_state:
                 self.state.opt_state = shard_params(
-                    restored["opt_state"], self.mesh, self._rules
+                    restored["opt_state"], self.mesh, self._rules,
+                    fsdp=self._fsdp, fsdp_min_size=self._fsdp_min
                 )
                 self.state.rng = jax.random.wrap_key_data(
                     jnp.asarray(restored["rng"])
@@ -842,7 +853,8 @@ class Pipeline:
             target = host(self.state.params)
             restored = ckptr.restore(path, target=target)
             self.state.params = shard_params(restored, self.mesh,
-                                             self._rules)
+                                             self._rules,
+                                             fsdp=self._fsdp, fsdp_min_size=self._fsdp_min)
 
         if load_training_state and meta:
             self.state.step = int(meta.get("step", 0))
