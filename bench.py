@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -23,6 +25,66 @@ import numpy as np
 LEN = 30
 BATCH = 256
 CPU_BATCH = 32  # CPU baseline measured on a slice, scaled by batch
+
+# ---------------------------------------------------------------------
+# Watchdog: the tunneled TPU endpoint can die silently, in which case
+# the FIRST device interaction (even `import jax`, which dials at
+# backend registration) futex-waits forever with zero CPU. A hung bench
+# is strictly worse than a failed one — the driver would record
+# nothing — so a daemon thread aborts the process with a loud stderr
+# message when a stage stalls past its deadline. os._exit is required:
+# the main thread is unkillable-by-exception while stuck in the dial.
+
+_progress = {"stage": "start", "t": time.time()}
+
+
+def _note(stage: str) -> None:
+    _progress["stage"] = stage
+    _progress["t"] = time.time()
+    print(f"[bench] {stage}", file=sys.stderr, flush=True)
+
+
+def _start_watchdog() -> None:
+    if os.environ.get("BENCH_WATCHDOG", "1") == "0":
+        return
+    # first device answer within 15 min (a healthy tunnel answers the
+    # probe op in seconds; compiles never start before the dial ends),
+    # no stage may stall 45 min, whole bench capped at 2 h
+    probe_s = int(os.environ.get("BENCH_WATCHDOG_PROBE_S", 900))
+    stall_s = int(os.environ.get("BENCH_WATCHDOG_STALL_S", 2700))
+    total_s = int(os.environ.get("BENCH_WATCHDOG_TOTAL_S", 7200))
+    t0 = time.time()
+
+    def watch():
+        while True:
+            time.sleep(15)
+            now = time.time()
+            stage, since = _progress["stage"], time.time() - _progress["t"]
+            limit = probe_s if stage == "device_probe" else stall_s
+            if since > limit or now - t0 > total_s:
+                print(
+                    f"[bench] FATAL: stage '{stage}' stalled {int(since)}s "
+                    f"(elapsed {int(now - t0)}s) — tunnel/worker "
+                    "unresponsive; aborting instead of hanging",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
+def _probe_device() -> None:
+    """One tiny op through the default backend, so a dead endpoint is
+    caught by the watchdog here — with a clear message — rather than
+    surfacing as an eternal hang inside the first real leg."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(jax.devices())
+    val = float(jnp.ones((8, 8)).sum())
+    print(f"[bench] device probe ok: {n} device(s), sum={val}",
+          file=sys.stderr, flush=True)
 
 
 def diff_time(make_many, iters, repeats: int = 1):
@@ -349,20 +411,35 @@ def bench_train_step(B=64, L=10, P=36, iters=64):
 
 
 def main():
+    _start_watchdog()
+    _note("device_probe")
+    _probe_device()
+    _note("cpu_reference")
     cpu_sps = bench_cpu_reference()
+    _note("inside_outside_len30")
     tpu_sps, tpu_dt = bench_tpu()
+    _note("joint_train_step")
     try:
         train_sps = bench_train_step()
-    except Exception:
+    except Exception as e:
+        print(f"[bench] train leg failed: {e!r}", file=sys.stderr,
+              flush=True)
         train_sps = 0.0
+    _note("stretch_len64")
     try:
         stretch_sps = bench_stretch()
-    except Exception:
+    except Exception as e:
+        print(f"[bench] stretch leg failed: {e!r}", file=sys.stderr,
+              flush=True)
         stretch_sps = 0.0
+    _note("roofline")
     try:
         roofline = logaddexp_roofline()
-    except Exception:
+    except Exception as e:
+        print(f"[bench] roofline leg failed: {e!r}", file=sys.stderr,
+              flush=True)
         roofline = 0.0
+    _note("report")
     # modeled FLOPs of one inside-outside at len30/b256 (the kernels'
     # CostEstimate: 12*n1^3*B forward + 24*n1^3*B backward, counting a
     # logaddexp accumulation as 6 flops)
