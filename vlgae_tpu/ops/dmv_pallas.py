@@ -276,7 +276,7 @@ def _flip_cols(n1: int) -> int:
     full ``n1r``-wide slabs at shift ``w`` and needed
     ``round8(n1 - 1 + n1r)``; banding halves the flip footprint at
     n1 = 65.)"""
-    return max(_round8(n1 + 7), _round8(n1))
+    return _round8(n1 + 7)
 
 
 def _width_bands(n1, n1r, g=8):
@@ -1386,8 +1386,10 @@ USE_FUSED = True
 def _fused_cp(n1: int) -> int:
     """Tight column capacity for the fused kernel's chart/adjoint
     buffers: under width-banding every shifted access spans at most
-    ``n1 + 6`` columns (writes at ``1 + t + C - 1 <= n1 + 6``)."""
-    return max(_round8(n1 + 7), _round8(n1))
+    ``n1 + 6`` columns (writes at ``1 + t + C - 1 <= n1 + 6``) — the
+    same ``round8(n1 + 7)`` bound as the flip buffers, so delegate to
+    ``_flip_cols`` to keep the two capacities from drifting apart."""
+    return _flip_cols(n1)
 
 
 def _fused_vmem_bytes(n1: int, grid: int, ms_tables: int = 0) -> int:
@@ -1455,7 +1457,14 @@ def _pallas_fused_call(attL, attR, seedR, seedL, lengths, *, is_max,
     fr = n1 + TCH
     nx = n1 + TCH
     grid = (B // BT,)
-    ms_tables = 0 if is_max else max(_fused_ms_tables(n1, B // BT), 0)
+    if is_max:
+        ms_tables = 0
+    else:
+        ms_tables = _fused_ms_tables(n1, B // BT)
+        # a -1 ("does not fit") verdict must never reach a live launch:
+        # near-ceiling VMEM launches have faulted the v5e worker, and
+        # callers gate on _fused_max_launch(n1) > 0 before getting here
+        assert ms_tables >= 0, (n1, B)
     att_spec, seed_spec, row_spec = _specs(n1, n1r)
     chart = lambda: pltpu.VMEM((nx, 2, cp, BT), jnp.float32)
     adj = lambda: pltpu.VMEM((n1, 2, cp, BT), jnp.float32)

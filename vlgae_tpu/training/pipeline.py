@@ -152,11 +152,19 @@ class Pipeline:
         if cls is None:
             raise ValueError(f"unknown metric _target_: {node['_target_']}")
         if cls is MultiMetric:
-            subs = {
-                k: self._build_metric_node(v)
-                for k, v in node.items()
-                if isinstance(v, dict) and "_target_" in v
-            }
+            subs = {}
+            for k, v in node.items():
+                if k == "_target_":
+                    continue
+                if not (isinstance(v, dict) and "_target_" in v):
+                    # same loud-failure contract as the leaf branch: a
+                    # stray scalar / sub-node without _target_ is a
+                    # config mistake, not something to silently drop
+                    raise ValueError(
+                        f"MultiMetric sub-node {k!r} is not a metric "
+                        f"config (expected a dict with _target_): {v!r}"
+                    )
+                subs[k] = self._build_metric_node(v)
             return MultiMetric(subs.pop("main", None), **subs)
         # pass scalar config kwargs through so overrides are never
         # silently dropped (an unknown kwarg raises loudly)
