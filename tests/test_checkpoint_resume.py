@@ -94,6 +94,68 @@ def test_resume_matches_uninterrupted_run(corpus, tmp_path):
     assert resumed.state.step == full.state.step
 
 
+def test_resume_under_fsdp_matches_replicated(corpus, tmp_path):
+    """Checkpoint/resume with trainer.fsdp=true: save gathers the
+    ZeRO-sharded params/moments to host, restore re-shards them over
+    'data', and the resumed trajectory continues an uninterrupted FSDP
+    run exactly. Losses also match the REPLICATED run (FSDP is a
+    layout, not a math change) — but params are only compared
+    FSDP-vs-FSDP: the factorized scorers' project2 biases shift scores
+    by a per-head constant that the child-axis log-softmax cancels, so
+    they are loss-null directions whose ~zero gradients Adam amplifies
+    into layout-dependent random walks."""
+    full = _build(corpus, tmp_path / "fr_full")
+    losses_full = [full.train_epoch(e)["train/loss"] for e in range(2)]
+
+    def build_fsdp(workdir):
+        dm = DepDataModule(
+            train_path=str(corpus / "train.conll"),
+            dev_path=str(corpus / "val.conll"),
+            num_lex=0,
+            train_dataloader={"batch_size": 8, "num_bucket": 1},
+            dev_dataloader={"batch_size": 8, "num_bucket": 1},
+        ).setup()
+        cfg = _cfg()
+        cfg["trainer"].update(fsdp=True, fsdp_min_size=64)
+        model = build_model(cfg, dm)
+        pipe = Pipeline(model, dm, cfg, workdir=str(workdir))
+        pipe.init_state(next(dm.batches("train", shuffle=False)), seed=0)
+        return pipe
+
+    def n_sharded(tree):
+        return sum(
+            1 for leaf in jax.tree_util.tree_leaves(tree)
+            if hasattr(leaf, "sharding")
+            and not leaf.sharding.is_fully_replicated
+        )
+
+    full_fsdp = build_fsdp(tmp_path / "fr_full_fsdp")
+    assert n_sharded(full_fsdp.state.params)
+    losses_fsdp = [
+        full_fsdp.train_epoch(e)["train/loss"] for e in range(2)
+    ]
+    # layout-parity: the FSDP trajectory IS the replicated trajectory
+    np.testing.assert_allclose(losses_fsdp, losses_full, rtol=1e-5)
+
+    part = build_fsdp(tmp_path / "fr_part")
+    loss0 = part.train_epoch(0)["train/loss"]
+    assert loss0 == pytest.approx(losses_fsdp[0], rel=1e-6)
+    ckpt = part.save_checkpoint("last")
+    del part
+
+    resumed = build_fsdp(tmp_path / "fr_resumed")
+    resumed.load_checkpoint(ckpt, load_training_state=True)
+    # restore re-sharded params AND Adam moments over 'data'
+    assert n_sharded(resumed.state.params)
+    assert n_sharded(resumed.state.opt_state)
+    loss1 = resumed.train_epoch(1)["train/loss"]
+    assert loss1 == pytest.approx(losses_fsdp[1], rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(full_fsdp.state.params),
+                    jax.tree_util.tree_leaves(resumed.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_params_only_checkpoint_roundtrip(corpus, tmp_path):
     pipe = _build(corpus, tmp_path / "po")
     pipe.train_epoch(0)
