@@ -9,6 +9,7 @@ from .dmv_pallas import (
     dmv_max_pallas_interpret,
     dmv_partition_pallas,
     dmv_partition_pallas_interpret,
+    set_data_parallel_mesh,
 )
 from .match_pallas import match_maxes_pallas
 
@@ -30,4 +31,5 @@ __all__ = [
     "dmv_max_pallas_interpret",
     "match_maxes_pallas",
     "pallas_available",
+    "set_data_parallel_mesh",
 ]

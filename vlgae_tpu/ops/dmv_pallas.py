@@ -1596,9 +1596,55 @@ def _make_dmv_total(is_max: bool, interpret: bool):
     return total
 
 
+# Data-parallel dispatch ----------------------------------------------------
+#
+# Under a plain jit with batch-sharded operands, XLA cannot partition a
+# pallas_call (an opaque custom call): it all-gathers the inputs and
+# runs the FULL batch on every chip — correct, but N_chips x redundant
+# work on the dominant O(n^3) compute (measured: 15 all-gathers around
+# one forward on an 8-device mesh). The chart fill is embarrassingly
+# batch-parallel, so when the training harness registers its mesh the
+# entry points shard_map themselves over 'data' and each chip fills only
+# its local shard (no collectives inside; the grads are per-sentence).
+
+_DATA_MESH = None
+
+
+def set_data_parallel_mesh(mesh) -> None:
+    """Register the active device mesh (or None to clear). Called by the
+    training Pipeline; kernels then dispatch per-shard via shard_map over
+    the 'data' axis whenever it is >1-way."""
+    global _DATA_MESH
+    _DATA_MESH = mesh
+
+
+def _shard_over_data(fn):
+    from jax.sharding import PartitionSpec
+
+    @functools.wraps(fn)
+    def wrapper(dec, attach, lengths):
+        mesh = _DATA_MESH
+        dp = mesh.shape.get("data", 1) if mesh is not None else 1
+        # the harness pads batches to device multiples; anything else
+        # (single-chip bench, unit tests) takes the unwrapped path
+        if dp <= 1 or attach.shape[0] % dp != 0:
+            return fn(dec, attach, lengths)
+        spec = PartitionSpec("data")
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )(dec, attach, lengths)
+
+    return wrapper
+
+
 # Public entry points -------------------------------------------------------
 
-dmv_partition_pallas = _make_dmv_total(is_max=False, interpret=False)
-dmv_max_pallas = _make_dmv_total(is_max=True, interpret=False)
-dmv_partition_pallas_interpret = _make_dmv_total(is_max=False, interpret=True)
-dmv_max_pallas_interpret = _make_dmv_total(is_max=True, interpret=True)
+dmv_partition_pallas = _shard_over_data(
+    _make_dmv_total(is_max=False, interpret=False))
+dmv_max_pallas = _shard_over_data(
+    _make_dmv_total(is_max=True, interpret=False))
+dmv_partition_pallas_interpret = _shard_over_data(
+    _make_dmv_total(is_max=False, interpret=True))
+dmv_max_pallas_interpret = _shard_over_data(
+    _make_dmv_total(is_max=True, interpret=True))

@@ -96,6 +96,13 @@ class Pipeline:
         mp = int(cfg.get("trainer", {}).get("model_parallel", 1) or 1)
         self.mesh = data_parallel_mesh(devices, model=mp)
         self.n_devices = len(self.mesh.devices.reshape(-1))
+        # register the mesh with the kernel layer: pallas_calls then
+        # shard_map themselves over 'data' (each chip fills only its
+        # local batch shard) instead of being all-gathered and run
+        # replicated by GSPMD — see ops/dmv_pallas.set_data_parallel_mesh
+        from ..ops import set_data_parallel_mesh
+
+        set_data_parallel_mesh(self.mesh)
         self._rules = DEFAULT_MODEL_RULES if mp > 1 else ()
         # trainer.fsdp: ZeRO-style full sharding of params + optimizer
         # moments over 'data' (large leaves only; TP rules win). XLA
