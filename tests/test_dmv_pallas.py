@@ -287,3 +287,31 @@ def test_kernel_shard_map_dispatch_over_data_mesh():
         np.asarray(dp.dmv_partition_pallas_interpret(
             dec[:9], attach[:9], lengths[:9])),
     )
+
+
+@pytest.mark.parametrize("n_max", [10, 17, 25, 33])
+def test_fused_kernel_band_edge_lengths(n_max):
+    """Width-band edge sweep: chart sizes on and around multiples of 8
+    (the band granularity) with ragged in-batch lengths must match the
+    scan fill for values AND marginal grads — band-capacity bugs show
+    up exactly at these shapes."""
+    rng = np.random.default_rng(n_max)
+    lens = [n_max, max(2, n_max - 1), max(2, n_max // 2), 2]
+    mdec, mattach, lengths = merged_batch(
+        [random_potentials(rng, n) for n in lens]
+    )
+    n1 = mattach.shape[1]
+    import vlgae_tpu.ops.dmv_pallas as dp
+
+    assert dp._fused_max_launch(n1) > 0
+
+    want = np.asarray(dmv_partition(mdec, mattach, lengths, LogSemiring))
+    got = np.asarray(dmv_partition_pallas_interpret(mdec, mattach, lengths))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    ga = jax.grad(
+        lambda a: jnp.sum(dmv_partition_pallas_interpret(mdec, a, lengths))
+    )(mattach)
+    _, wa = dmv_marginals(mdec, mattach, lengths, LogSemiring)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
+                               rtol=1e-3, atol=1e-5)
