@@ -26,6 +26,13 @@ LEN = 30
 BATCH = 256
 CPU_BATCH = 32  # CPU baseline measured on a slice, scaled by batch
 
+# BENCH_SMOKE=1: tiny shapes/iterations so the FULL flow (every leg +
+# report assembly) can be validated end-to-end on CPU in minutes; the
+# printed numbers are meaningless, only the plumbing is under test.
+SMOKE = os.environ.get("BENCH_SMOKE", "0") == "1"
+if SMOKE:
+    LEN, BATCH, CPU_BATCH = 8, 8, 4
+
 # ---------------------------------------------------------------------
 # Watchdog: the tunneled TPU endpoint can die silently, in which case
 # the FIRST device interaction (even `import jax`, which dials at
@@ -164,7 +171,7 @@ def bench_tpu():
 
         return lambda: many(dec, attach, lengths, noise)
 
-    dt = diff_time(make_many, 128, repeats=5)
+    dt = diff_time(make_many, 2 if SMOKE else 128, repeats=5)
     return BATCH / dt, dt
 
 
@@ -201,7 +208,7 @@ def logaddexp_roofline():
     # tunnel's RTT jitter (short single-shot windows have produced 12x
     # swings in either direction), and a roofline is by definition the
     # least-interfered measurement
-    dt = diff_time(make_many, 512, repeats=3)
+    dt = diff_time(make_many, 2 if SMOKE else 512, repeats=3)
     return 6.0 * CHAIN * M / dt
 
 
@@ -420,14 +427,16 @@ def main():
     tpu_sps, tpu_dt = bench_tpu()
     _note("joint_train_step")
     try:
-        train_sps = bench_train_step()
+        train_sps = (bench_train_step(B=8, L=6, P=8, iters=2)
+                     if SMOKE else bench_train_step())
     except Exception as e:
         print(f"[bench] train leg failed: {e!r}", file=sys.stderr,
               flush=True)
         train_sps = 0.0
     _note("stretch_len64")
     try:
-        stretch_sps = bench_stretch()
+        stretch_sps = (bench_stretch(length=12, batch=16, iters=2)
+                       if SMOKE else bench_stretch())
     except Exception as e:
         print(f"[bench] stretch leg failed: {e!r}", file=sys.stderr,
               flush=True)
