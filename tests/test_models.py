@@ -761,3 +761,85 @@ def test_streamed_matching_model_path():
                    for l in jax.tree_util.tree_leaves(grads))
         losses[chunk] = float(loss)
     assert losses[0] == pytest.approx(losses[8], rel=1e-5), losses
+
+
+def test_match_kernel_auto_defers_to_gspmd_on_data_mesh(monkeypatch):
+    """match_kernel='auto' picks the Pallas matching kernel single-chip
+    (it wins there) but the EINSUM formulation on a >1-way data mesh:
+    the kernel is opaque to GSPMD (full-B^2 replicated per chip), while
+    the einsum partitions natively. Explicit 'pallas' still forces it."""
+    import vlgae_tpu.ops as ops_pkg
+    import vlgae_tpu.ops.match_pallas as mp
+
+    rng = np.random.default_rng(13)
+    emb = CompositeEmbedding(
+        items=(
+            EmbeddingItemCfg("word_embedding", "word", "static",
+                             n_vocab=N_WORD, embedding_dim=16),
+            EmbeddingItemCfg("tag_embedding", "tag", "static",
+                             n_vocab=N_TAG, embedding_dim=8),
+        ),
+    )
+    dep_cfg = LDNDMVConfig(
+        context_mode="mean", hidden_size=24, attach_rank=4, dec_rank=4,
+        root_rank=4, root_emb_dim=6, dec_emb_dim=6, n_token=N_TOKEN,
+        n_tag=N_TAG, ff_dropout=0.0, mid_dropout=0.0,
+    )
+    dep = DiscriminativeNDMV(
+        cfg=dep_cfg, embedding=emb, encoder=MLPEncoder(n_hidden=24),
+        token2word=tuple(int(i % N_WORD) for i in range(N_TOKEN)),
+        token2tag=tuple(int(i % N_TAG) for i in range(N_TOKEN)),
+    )
+    vis = VisBoxRelSimpleEncoder(n_hidden=24, img_feat=True, use_attr=True,
+                                 use_img=False)
+    B, L, P = 4, 5, 4
+    inputs = make_inputs(rng, B=B, L=L)
+    inputs["vis_box_feat"] = jnp.asarray(
+        rng.standard_normal((B, P, 10)), jnp.float32
+    )
+    inputs["vis_box_mask"] = jnp.asarray(np.tile(np.arange(P) < 3, (B, 1)))
+    inputs["vis_available"] = jnp.ones(B, bool)
+    cfg = DependencyBoxRelConfig(
+        match_hidden=16, fuse_num_heads=2, fuse_dropout=0.0,
+        word_encoder_dropout=0.0, bf16_matmul=True, match_kernel="auto",
+    )
+    model = DependencyBoxRel(
+        cfg=cfg, dep_cfg=dep_cfg, dependency=dep, vis_encoder=vis,
+        pos_for_obj=(2,), pos_for_rel=(3,), pos_for_attr=(4,),
+    )
+    params = model.init(jax.random.key(0), inputs)
+
+    calls = []
+
+    def stub(vis_b, txt_b, interpret):
+        calls.append(1)
+        att = jnp.einsum("avd,bqd->baqv", vis_b, txt_b)
+        return (jnp.max(att, -1).astype(jnp.float32),
+                jnp.max(att, -2).astype(jnp.float32))
+
+    monkeypatch.setattr(mp, "match_maxes_pallas", stub)
+    monkeypatch.setattr(ops_pkg, "pallas_available", lambda: True)
+    # the forced "on TPU" flag also routes the chart DPs to the compiled
+    # kernels; point those at their interpret twins (CPU-executable)
+    monkeypatch.setattr(ops_pkg, "dmv_partition_pallas",
+                        ops_pkg.dmv_partition_pallas_interpret)
+    monkeypatch.setattr(ops_pkg, "dmv_max_pallas",
+                        ops_pkg.dmv_max_pallas_interpret)
+
+    def run():
+        return model.apply(
+            params, inputs, deterministic=False,
+            rngs={"dropout": jax.random.key(1), "sample": jax.random.key(2)},
+        )
+
+    # single chip: auto picks the kernel
+    monkeypatch.setattr(ops_pkg, "data_parallel_degree", lambda: 1)
+    run()
+    assert calls, "auto did not pick the kernel single-chip"
+
+    # >1-way data mesh: auto defers to the partitionable einsum
+    calls.clear()
+    monkeypatch.setattr(ops_pkg, "data_parallel_degree", lambda: 8)
+    out = run()
+    assert not calls, "auto picked the opaque kernel on a data mesh"
+    assert out.get("match_reduced") is not None

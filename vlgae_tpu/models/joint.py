@@ -501,12 +501,19 @@ class DependencyBoxRel(fnn.Module):
         D2 = vis_b.shape[-1]
         CH = self.cfg.train_match_chunk
         mk = self.cfg.match_kernel
-        from ..ops import pallas_available
+        from ..ops import data_parallel_degree, pallas_available
         from ..ops.match_pallas import match_maxes_fits, match_maxes_pallas
 
         on_tpu = pallas_available()
+        # auto: the kernel wins single-chip, but it is opaque to GSPMD —
+        # on a >1-way data mesh it would be input-all-gathered and run
+        # the FULL B^2 product replicated on every chip, while the
+        # einsum formulation partitions natively (measured: the 8-dev
+        # train step compiles to all-reduces with no gathers). An
+        # explicit match_kernel='pallas' still forces the kernel.
         use_pallas = mk == "pallas" or (
             mk == "auto" and on_tpu and self.cfg.bf16_matmul
+            and data_parallel_degree() <= 1
         )
         # shape gate, like every other Pallas path: fall back to the
         # einsum when the kernel's VMEM footprint or q-unroll would not

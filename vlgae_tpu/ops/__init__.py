@@ -5,6 +5,7 @@ import os
 import jax
 
 from .dmv_pallas import (
+    data_parallel_degree,
     dmv_max_pallas,
     dmv_max_pallas_interpret,
     dmv_partition_pallas,
@@ -29,6 +30,7 @@ __all__ = [
     "dmv_max_pallas",
     "dmv_partition_pallas_interpret",
     "dmv_max_pallas_interpret",
+    "data_parallel_degree",
     "match_maxes_pallas",
     "pallas_available",
     "set_data_parallel_mesh",

@@ -1618,6 +1618,17 @@ def set_data_parallel_mesh(mesh) -> None:
     _DATA_MESH = mesh
 
 
+def data_parallel_degree() -> int:
+    """Size of the registered mesh's 'data' axis (1 when unregistered).
+    Kernel-selection gates consult this: paths GSPMD cannot partition
+    (opaque pallas_calls without a shard_map wrap, e.g. the cross-batch
+    matching kernel) should prefer a partitionable XLA formulation on a
+    >1-way data mesh rather than run the full batch replicated on every
+    chip."""
+    mesh = _DATA_MESH
+    return mesh.shape.get("data", 1) if mesh is not None else 1
+
+
 def _shard_over_data(fn):
     from jax.sharding import PartitionSpec
 
