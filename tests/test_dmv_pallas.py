@@ -229,12 +229,14 @@ def test_pallas_v3_inside_matches_scan(big_batch):
 
 
 
-def test_kernel_shard_map_dispatch_over_data_mesh():
+@pytest.mark.parametrize("model_par", [1, 2])
+def test_kernel_shard_map_dispatch_over_data_mesh(model_par):
     """With a registered mesh, the kernel entry points shard_map over
     'data': each device fills only its local batch shard — the compiled
     HLO contains NO all-gather (GSPMD would otherwise replicate the
     opaque pallas_call on every chip) — and values AND grads are
-    bit-identical to the unsharded path."""
+    bit-identical to the unsharded path. ``model_par=2`` composes the
+    tensor-parallel axis (kernel inputs replicated over 'model')."""
     import vlgae_tpu.ops.dmv_pallas as dp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -247,9 +249,10 @@ def test_kernel_shard_map_dispatch_over_data_mesh():
     lengths = jnp.full((B,), N, jnp.int32)
 
     devs = np.array(jax.devices())
-    if devs.size < 2:
+    if devs.size < 2 * model_par:
         pytest.skip("needs a multi-device mesh")
-    mesh = Mesh(devs.reshape(devs.size, 1), ("data", "model"))
+    mesh = Mesh(devs.reshape(devs.size // model_par, model_par),
+                ("data", "model"))
     shard = NamedSharding(mesh, P("data"))
 
     @jax.jit
