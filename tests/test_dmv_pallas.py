@@ -318,3 +318,14 @@ def test_fused_kernel_band_edge_lengths(n_max):
     _, wa = dmv_marginals(mdec, mattach, lengths, LogSemiring)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
                                rtol=1e-3, atol=1e-5)
+
+    # max semiring (Viterbi value + indicator grads) at the same shapes
+    want = np.asarray(dmv_partition(mdec, mattach, lengths, MaxSemiring))
+    got = np.asarray(dmv_max_pallas_interpret(mdec, mattach, lengths))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    ga = jax.grad(
+        lambda a: jnp.sum(dmv_max_pallas_interpret(mdec, a, lengths))
+    )(mattach)
+    _, wa = dmv_marginals(mdec, mattach, lengths, MaxSemiring)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
+                               rtol=1e-3, atol=1e-5)
