@@ -222,3 +222,32 @@ def test_fsdp_shards_params_and_matches_replicated(corpus, tmp_path):
     )
     # updates preserved the FSDP layout (out_shardings pin it)
     assert sharded_leaves(pipe_f.state.params)
+
+
+def test_mesh_registration_scoped_per_pipeline(corpus, tmp_path):
+    """Two Pipelines with different meshes in one process must not
+    poison each other's kernel dispatch: the registry is refreshed at
+    every loop entry, so whichever pipeline runs owns the registered
+    mesh for its own (re)traces."""
+    import vlgae_tpu.ops.dmv_pallas as dp
+
+    pipe8 = _build(corpus, workdir=str(tmp_path / "m8"))
+    assert dp._DATA_MESH is pipe8.mesh
+
+    cfg1 = _cfg()
+    dm1 = _make_dm(corpus)
+    model1 = build_model(cfg1, dm1)
+    pipe1 = Pipeline(model1, dm1, cfg1, workdir=str(tmp_path / "m1"),
+                     devices=jax.devices()[:1])
+    sample = next(dm1.batches("train", shuffle=False))
+    pipe1.init_state(sample, seed=0)
+    assert dp._DATA_MESH is pipe1.mesh  # last constructor wins ...
+
+    # ... but each loop re-registers its own mesh on entry
+    pipe8.evaluate("dev")
+    assert dp._DATA_MESH is pipe8.mesh
+    pipe1.evaluate("dev")
+    assert dp._DATA_MESH is pipe1.mesh
+    stats = pipe8.train_epoch(0)
+    assert dp._DATA_MESH is pipe8.mesh
+    assert np.isfinite(stats["train/loss"])

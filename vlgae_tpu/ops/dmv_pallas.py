@@ -1635,7 +1635,7 @@ def _shard_over_data(fn):
     @functools.wraps(fn)
     def wrapper(dec, attach, lengths):
         mesh = _DATA_MESH
-        dp = mesh.shape.get("data", 1) if mesh is not None else 1
+        dp = data_parallel_degree()
         # the harness pads batches to device multiples; anything else
         # (single-chip bench, unit tests) takes the unwrapped path
         if dp <= 1 or attach.shape[0] % dp != 0:

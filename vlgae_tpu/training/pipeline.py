@@ -96,13 +96,7 @@ class Pipeline:
         mp = int(cfg.get("trainer", {}).get("model_parallel", 1) or 1)
         self.mesh = data_parallel_mesh(devices, model=mp)
         self.n_devices = len(self.mesh.devices.reshape(-1))
-        # register the mesh with the kernel layer: pallas_calls then
-        # shard_map themselves over 'data' (each chip fills only its
-        # local batch shard) instead of being all-gathered and run
-        # replicated by GSPMD — see ops/dmv_pallas.set_data_parallel_mesh
-        from ..ops import set_data_parallel_mesh
-
-        set_data_parallel_mesh(self.mesh)
+        self._register_mesh()
         self._rules = DEFAULT_MODEL_RULES if mp > 1 else ()
         # trainer.fsdp: ZeRO-style full sharding of params + optimizer
         # moments over 'data' (large leaves only; TP rules win). XLA
@@ -201,6 +195,7 @@ class Pipeline:
         return [DependencyParsingMetric() for _ in range(2)]
 
     def init_state(self, sample_batch, seed: int = 0):
+        self._register_mesh()
         x, y = sample_batch
         inputs = {k: jnp.asarray(v) for k, v in x.items()}
         rng = jax.random.key(seed)
@@ -489,11 +484,26 @@ class Pipeline:
             )
         return x, y
 
+    def _register_mesh(self):
+        """Point the kernel layer's dispatch at THIS pipeline's mesh:
+        pallas_calls then shard_map over 'data' (each chip fills only
+        its local batch shard) instead of being all-gathered and run
+        replicated by GSPMD, and match_kernel='auto' sees the true
+        data-parallel degree. The registry is process-global, so it is
+        refreshed at the entry of every loop that may (re)trace jitted
+        steps — two pipelines with different meshes in one process
+        (tests, notebook evals) would otherwise poison each other's
+        trace-time dispatch with a foreign mesh."""
+        from ..ops import set_data_parallel_mesh
+
+        set_data_parallel_mesh(self.mesh)
+
     def train_epoch(self, epoch: int, log_every: int = 50,
                     val_fn: Optional[Callable] = None,
                     val_check_interval: float = 1.0):
         """One training epoch; ``val_fn`` is invoked mid-epoch when
         ``val_check_interval`` < 1 (ref: trainer val_check_interval)."""
+        self._register_mesh()
         st = self.state
         st.epoch = epoch
         init_phase = (
@@ -647,6 +657,7 @@ class Pipeline:
         return stats
 
     def evaluate(self, split: str = "dev", metric_idx: int = 0):
+        self._register_mesh()
         metric = self.metrics[metric_idx]
         metric.reset()
         loss_sum, token_sum = 0.0, 0
