@@ -220,3 +220,30 @@ def test_tempmax_semiring_limits():
     np.testing.assert_allclose(t1, log_z, rtol=1e-5)
     np.testing.assert_allclose(thot, max_z, atol=0.05)
     assert np.all(thot >= max_z - 1e-5)
+
+
+def test_pipeline_compile_cache_setup(tmp_path):
+    """trainer.compile_cache: an externally configured cache dir wins;
+    otherwise the requested path is created and installed."""
+    import os
+
+    import jax
+    from vlgae_tpu.training.pipeline import Pipeline
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        # tests configure a cache dir in conftest -> helper must defer
+        assert old
+        assert Pipeline.setup_compile_cache({}) is None
+        assert jax.config.jax_compilation_cache_dir == old
+
+        jax.config.update("jax_compilation_cache_dir", None)
+        assert Pipeline.setup_compile_cache({"compile_cache": False}) is None
+        assert jax.config.jax_compilation_cache_dir is None
+
+        want = str(tmp_path / "xla_cache")
+        got = Pipeline.setup_compile_cache({"compile_cache": want})
+        assert got == want and os.path.isdir(want)
+        assert jax.config.jax_compilation_cache_dir == want
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)

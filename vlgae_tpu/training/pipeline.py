@@ -77,8 +77,26 @@ def _progress_bar(it, total, desc, enable=True):
 class Pipeline:
     """Owns model + params + optimizer + metrics (ref: pipeline.py:30-271)."""
 
+    @staticmethod
+    def setup_compile_cache(trainer_cfg: Dict[str, Any]) -> Optional[str]:
+        """Enable JAX's persistent compilation cache (XLA compiles are
+        identical run to run; on remote TPU backends a cold joint-model
+        compile costs minutes). ``trainer.compile_cache``: true (default,
+        ~/.cache/vlgae_tpu/xla), a path, or false. A cache dir already
+        configured by the environment or tests always wins."""
+        cache = trainer_cfg.get("compile_cache", True)
+        if not cache or jax.config.jax_compilation_cache_dir:
+            return None
+        path = cache if isinstance(cache, str) else os.path.expanduser(
+            "~/.cache/vlgae_tpu/xla"
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        return path
+
     def __init__(self, model, dm, cfg: Dict[str, Any], workdir: str = ".",
                  devices=None):
+        self.setup_compile_cache(cfg.get("trainer", {}) or {})
         self.model = model
         self.dm = dm
         self.cfg = cfg
