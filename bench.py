@@ -417,6 +417,45 @@ def bench_train_step(B=64, L=10, P=36, iters=64):
     return B / dt
 
 
+def bench_mbr_decode(B=None, N=None, iters=32):
+    """MBR decode throughput (the eval/serving path): DMV marginals by
+    autograd through the chart kernel, then the DependencyCRF Viterbi
+    over the summed arc marginals (ref: src/model/ldndmv.py:289-304).
+    Reported as sentences/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlgae_tpu.models.ldndmv import decode
+
+    B = B or BATCH
+    N = N or LEN
+    dec, attach, lengths = make_inputs(B, N, seed=3)
+    dec, attach, lengths = map(jnp.asarray, (dec, attach, lengths))
+    rng = np.random.default_rng(4)
+    noise = jnp.asarray(
+        rng.standard_normal((4,) + attach.shape).astype(np.float32) * 0.01
+    )
+
+    def make_many(n_it):
+        @jax.jit
+        def many(d, a, l, noise):
+            def body(acc, i):
+                heads = decode(
+                    {"merged_dec": d, "merged_attach": a + noise[i % 4]},
+                    l, mbr=True,
+                )
+                return acc + jnp.sum(heads), None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                  jnp.arange(n_it))
+            return acc
+
+        return lambda: many(dec, attach, lengths, noise)
+
+    dt = diff_time(make_many, 2 if SMOKE else iters, repeats=5)
+    return B / dt
+
+
 def main():
     _start_watchdog()
     _note("device_probe")
@@ -441,6 +480,13 @@ def main():
         print(f"[bench] stretch leg failed: {e!r}", file=sys.stderr,
               flush=True)
         stretch_sps = 0.0
+    _note("mbr_decode")
+    try:
+        decode_sps = bench_mbr_decode()
+    except Exception as e:
+        print(f"[bench] decode leg failed: {e!r}", file=sys.stderr,
+              flush=True)
+        decode_sps = 0.0
     _note("roofline")
     try:
         roofline = logaddexp_roofline()
@@ -463,6 +509,7 @@ def main():
         "cpu_reference_sentences_per_sec": round(cpu_sps, 1),
         "stretch_len64_b1024_sentences_per_sec": round(stretch_sps, 1),
         "joint_train_step_len10_b64_sentences_per_sec": round(train_sps, 1),
+        "mbr_decode_len30_b256_sentences_per_sec": round(decode_sps, 1),
         # perf observability: the DP is VPU/transcendental-bound, so the
         # honest roofline is measured logaddexp throughput, not MXU MFU
         "achieved_gflops": round(achieved / 1e9, 1),
