@@ -106,3 +106,41 @@ def test_dmv_ragged_batch_matches_per_sentence(data, ns):
     for b, (d, a, r) in enumerate(insts):
         want = oracles.brute_dmv(d, a, r, ns[b])
         assert abs(float(got[b]) - want) < 1e-3
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(st.data(), st.integers(min_value=2, max_value=5))
+def test_eisner_viterbi_matches_crf_randomized(data, n):
+    """Host Eisner backtracker == kernel-free CRF Viterbi on random
+    potentials (two independent implementations of the same decode,
+    ref: alg.py:9-69 vs deptree.py:25-76)."""
+    from vlgae_tpu.struct.alg import eisner
+
+    arc = np.array(
+        data.draw(st.lists(pot, min_size=(n + 1) * (n + 1),
+                           max_size=(n + 1) * (n + 1)))
+    ).reshape(n + 1, n + 1).astype(np.float32)
+    crf = DependencyCRF(jnp.asarray(arc)[None], jnp.asarray([n]))
+    want = float(crf.max[0])
+    heads = eisner(arc[None], np.asarray([n]))[0, 1:n + 1]
+    scored = oracles.score_deptree(arc, list(heads))
+    assert abs(scored - want) < 1e-3
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(st.data(), st.integers(min_value=2, max_value=4))
+def test_mst_beats_or_ties_projective_viterbi(data, n):
+    """Chu-Liu/Edmonds maximizes over ALL spanning arborescences, a
+    superset of projective trees: its score must dominate the
+    projective Viterbi (ref: alg.py:473-612)."""
+    from vlgae_tpu.struct.alg import mst
+
+    arc = np.array(
+        data.draw(st.lists(pot, min_size=(n + 1) * (n + 1),
+                           max_size=(n + 1) * (n + 1)))
+    ).reshape(n + 1, n + 1).astype(np.float32)
+    crf = DependencyCRF(jnp.asarray(arc)[None], jnp.asarray([n]))
+    proj_best = float(crf.max[0])
+    heads = mst(arc[None], np.asarray([n]))[0, 1:n + 1]
+    scored = oracles.score_deptree(arc, list(heads))
+    assert scored >= proj_best - 1e-3
