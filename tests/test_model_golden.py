@@ -1,0 +1,559 @@
+"""FULL-MODEL golden parity vs the reference implementation.
+
+tests/golden/model_ref.npz holds weights + inputs + outputs produced by
+running the reference's COMPOSED model code (DiscriminativeNDMV._forward
+potential construction, DependencyBoxRel matching stack) — see
+scripts/make_model_golden.py. Loading the same weights into the flax
+models must reproduce the outputs, extending the per-layer nn goldens
+(test_nn_golden.py) to the full wiring: scorer-stack composition,
+token gathers, triangular direction resolution, function-word masking,
+DMV1o.merge, visual/language factor packing, attention maps, the
+factor|ce grounding loss (pinned through its GRADIENTS — the
+self-normalized value is degenerate by construction), cap_img|ce, the
+aug_with_matching fusion block, and the on_factor/on_img grounding
+decode (logits + unique-rank indices + the index formatter — the -1e10
+edits collapse onto an exact f32 tie plateau, see the decode test).
+
+Mask fills differ by convention (see ``masked_close``).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlgae_tpu.models import (
+    CompositeEmbedding,
+    DependencyBoxRel,
+    DependencyBoxRelConfig,
+    DiscriminativeNDMV,
+    LDNDMVConfig,
+    MLPEncoder,
+    VisBoxRelSimpleEncoder,
+)
+from vlgae_tpu.models.embedding import EmbeddingItemCfg
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "model_ref.npz")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return np.load(GOLDEN)
+
+
+def dense(ref, key):
+    """torch nn.Linear -> flax Dense params (kernel transposed)."""
+    out = {"kernel": ref[f"{key}.weight"].T}
+    if f"{key}.bias" in ref:
+        out["bias"] = ref[f"{key}.bias"]
+    return out
+
+
+def masked_close(got, want, rtol=1e-5, atol=1e-5, msg="", thresh=-1e8):
+    """Mask-fill constants differ across the two codebases (reference
+    -INF = -1e20; chart NEGINF here = -1e12; matching INF here = -1e9,
+    bf16-safe) — any pair both below ``thresh`` counts as equal; real
+    scores are O(10)."""
+    got, want = np.asarray(got), np.asarray(want)
+    assert got.shape == want.shape, (msg, got.shape, want.shape)
+    both_masked = (got < thresh) & (want < thresh)
+    np.testing.assert_allclose(
+        np.where(both_masked, 0.0, got), np.where(both_masked, 0.0, want),
+        rtol=rtol, atol=atol, err_msg=msg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DiscriminativeNDMV._forward (ref: ldndmv.py:171-216)
+# ---------------------------------------------------------------------------
+
+def _ldndmv_params(d):
+    """Map the reference weights into the flax param tree.
+
+    The valence-branch linears cross-map: the reference stacks
+    [NOCHILD_linear, HASCHILD_linear] outputs on the valence axis
+    (ref: dmv_spec.py:42-43) while this repo stacks its [HASCHILD,
+    NOCHILD] branches — with shared DP constants (HASCHILD=0 in both,
+    ref: dmv.py:7-15) the branch NAMED NoChild in the reference fills
+    the HASCHILD slot, so its weights load into this repo's HASCHILD
+    branch (and vice versa) for identical tables.
+    """
+    def dd(key):
+        return dense(d, f"ldndmv/param/{key}")
+
+    return {
+        "embedding": {
+            "word_embedding": {"embedding": d["in/word_table"]},
+            "tag_embedding": {"embedding": d["in/tag_table"]},
+        },
+        "head_ff": {"Dense_0": dd("head_ff.linear")},
+        "child_ff": {"Dense_0": dd("child_ff.linear")},
+        "root_ff": {"Dense_0": dd("root_ff.linear")},
+        "dec_ff": {"Dense_0": dd("dec_ff.linear")},
+        "mid_ff": {
+            "HASCHILD": dd("mid_ff.NOCHILD_linear"),   # cross-map
+            "NOCHILD": dd("mid_ff.HASCHILD_linear"),   # cross-map
+            "LEFT": dd("mid_ff.LEFT_linear"),
+            "RIGHT": dd("mid_ff.RIGHT_linear"),
+            "valence": dd("mid_ff.valence_linear"),
+            "direction": dd("mid_ff.direction_linear"),
+            "mid1": dd("mid_ff.linear1"),
+            "mid2": dd("mid_ff.linear2"),
+        },
+        "attach_scorer": {
+            "project1": dd("attach_scorer.project1"),
+            "project2": dd("attach_scorer.project2"),
+        },
+        "dec_scorer": {
+            "project1": dd("dec_scorer.project1"),
+            "project2": dd("dec_scorer.project2"),
+        },
+        "root_scorer": {
+            "project1": dd("root_scorer.project1"),
+            "project2": dd("root_scorer.project2"),
+        },
+        "root_emb": d["ldndmv/param/root_emb"],
+        "dec_emb": d["ldndmv/param/dec_emb"],
+    }
+
+
+def _build_ldndmv(d, extended_valence: bool, encoder=None):
+    emb = CompositeEmbedding(items=(
+        EmbeddingItemCfg("word_embedding", "word", "static",
+                         n_vocab=9, embedding_dim=8),
+        EmbeddingItemCfg("tag_embedding", "tag", "static",
+                         n_vocab=6, embedding_dim=4),
+    ))
+    cfg = LDNDMVConfig(
+        context_mode="mean", hidden_size=16, attach_rank=3, dec_rank=3,
+        root_rank=3, root_emb_dim=6, dec_emb_dim=5, n_token=10, n_tag=6,
+        ff_dropout=0.0, extended_valence=extended_valence,
+        function_mask=True,
+    )
+    model = DiscriminativeNDMV(
+        cfg=cfg, embedding=emb, encoder=encoder,
+        token2word=tuple(int(i) for i in d["in/token2word"]),
+        token2tag=tuple(int(i) for i in d["in/token2tag"]),
+        function_mask_ids=tuple(
+            int(i) for i in d["ldndmv/in/function_mask"]
+        ),
+    )
+    inputs = {
+        "token": jnp.asarray(d["in/tokens"]),
+        "tag": jnp.asarray(d["in/tags"]),
+        "word": jnp.asarray(d["in/token2word"][d["in/tokens"]]),
+        "seq_len": jnp.asarray(d["in/seq_len"].astype(np.int32)),
+    }
+    encoded = {"x": jnp.asarray(d["in/x_enc"])}
+    return model, {"params": _ldndmv_params(d)}, inputs, encoded
+
+
+@pytest.mark.parametrize("tag,extended", [
+    ("ldndmv", True), ("ldndmv_nev", False),
+])
+def test_ldndmv_forward_matches_reference(ref, tag, extended):
+    model, params, inputs, encoded = _build_ldndmv(ref, extended)
+    out = model.apply(params, inputs, encoded=encoded, deterministic=True)
+    # emb is rebuilt from the same tables the reference token_emb used
+    np.testing.assert_allclose(
+        np.asarray(out["emb"]), ref["in/emb"], rtol=1e-6, atol=1e-7
+    )
+    masked_close(out["attach"], ref[f"{tag}/out/attach"], msg="attach")
+    np.testing.assert_allclose(
+        np.asarray(out["dec"]), ref[f"{tag}/out/dec"],
+        rtol=1e-4, atol=1e-5, err_msg="dec",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["root"]), ref[f"{tag}/out/root"],
+        rtol=1e-4, atol=1e-5, err_msg="root",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["root_rule"]), ref[f"{tag}/out/root_rule"],
+        rtol=1e-4, atol=1e-5, err_msg="root_rule",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["attach_rule"]), ref[f"{tag}/out/attach_rule"],
+        rtol=1e-4, atol=1e-5, err_msg="attach_rule",
+    )
+    masked_close(out["merged_dec"], ref[f"{tag}/out/merged_dec"],
+                 msg="merged_dec")
+    masked_close(out["merged_attach"], ref[f"{tag}/out/merged_attach"],
+                 msg="merged_attach")
+
+
+@pytest.mark.parametrize("tag,mode", [
+    ("ldndmv_vae", "all:vae"), ("ldndmv_ib", "all:ib"),
+])
+def test_variational_context_matches_reference(ref, tag, mode):
+    """extract_sent_repr eval branches (ref: ldndmv.py:218-250):
+    context = posterior mean; VAE KL / IB Gaussian-KL values."""
+    emb = CompositeEmbedding(items=(
+        EmbeddingItemCfg("word_embedding", "word", "static",
+                         n_vocab=9, embedding_dim=8),
+    ))
+    cfg = LDNDMVConfig(
+        context_mode="mean", variational_mode=mode, z_dim=3,
+        hidden_size=16, n_token=10, n_tag=6, ff_dropout=0.0,
+    )
+    model = DiscriminativeNDMV(cfg=cfg, embedding=emb, encoder=None)
+    x = jnp.asarray(ref["in/x_enc"])
+    B, L, _ = x.shape
+    mask = jnp.ones((B, L), bool)
+
+    variables = model.init(
+        jax.random.key(0), {"x": x}, mask,
+        method=lambda m, e, k: m.extract_sent_repr(e, k,
+                                                   deterministic=True),
+    )
+    p = dict(variables["params"])
+    p["variational_enc"] = dense(ref, f"{tag}/param/variational_enc")
+    if mode.endswith("ib"):
+        p["target_mean"] = ref[f"{tag}/param/target_mean"]
+        p["target_lvar"] = ref[f"{tag}/param/target_lvar"]
+    context, kl = model.apply(
+        {"params": p}, {"x": x}, mask,
+        method=lambda m, e, k: m.extract_sent_repr(e, k,
+                                                   deterministic=True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(context), ref[f"{tag}/out/context"],
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(kl), ref[f"{tag}/out/kl"], rtol=1e-4, atol=1e-5
+    )
+
+# ---------------------------------------------------------------------------
+# DependencyBoxRel matching stack (ref: joint.py)
+# ---------------------------------------------------------------------------
+
+
+def _joint_params(d, init_params):
+    p = jax.tree_util.tree_map(np.asarray, dict(init_params))
+
+    def dd(key):
+        return dense(d, f"joint/param/{key}")
+
+    p["word_encoder"] = {"Dense_0": dd("word_encoder.linear")}
+    p["child_encoder"] = {"Dense_0": dd("child_encoder.linear")}
+    p["parent_encoder"] = {"Dense_0": dd("parent_encoder.linear")}
+    p["arc_encoder_w1"] = d["joint/param/arc_encoder_w1"]
+    p["arc_encoder_w2"] = d["joint/param/arc_encoder_w2"]
+    p["arc_encoder_b"] = d["joint/param/arc_encoder_b"]
+    p["vis_mlp_pre_matching"] = {
+        "kernel": d["joint/param/vis_mlp_pre_matching.weight"].T
+    }
+    p["feat_layernorm"] = {
+        "scale": d["joint/param/feat_layernorm.weight"],
+        "bias": d["joint/param/feat_layernorm.bias"],
+    }
+    p["dependency"] = _ldndmv_params(d)
+    return p
+
+
+@pytest.fixture(scope="module")
+def joint(ref):
+    """(model_simple, model_reduced, params, inputs, vis_encoded, mask)"""
+    d = ref
+    dep_model, _, inputs, _ = _build_ldndmv(
+        d, True, encoder=MLPEncoder(n_hidden=12)
+    )
+    kw = dict(
+        add_rel=True, add_attr=True, add_image=False, add_marginal=True,
+        language_factor_mode="word+maxdep", match_hidden=8,
+        feat_fuse_mode="attention", fuse_num_heads=2, fuse_dropout=0.0,
+        fuse_aug_with_matching=True, loss_grounding_mode="factor|ce",
+        loss_use_pos_prior=True, loss_vis2txt=1.0,
+        word_encoder_dropout=0.0, bf16_matmul=False,
+        compact_rel_train=False, grounding_interpolation=0.3,
+    )
+    mk = dict(
+        dep_cfg=dep_model.cfg, dependency=dep_model,
+        vis_encoder=VisBoxRelSimpleEncoder(
+            n_hidden=12, img_feat=True, use_attr=True, use_img=False
+        ),
+        # POS priors mirror the generator's disjoint tag groups
+        pos_for_obj=(0, 1), pos_for_rel=(2,), pos_for_attr=(4,),
+    )
+    model = DependencyBoxRel(
+        cfg=DependencyBoxRelConfig(gather_logit_mode="simple", **kw), **mk
+    )
+    model_red = DependencyBoxRel(
+        cfg=DependencyBoxRelConfig(
+            gather_logit_mode="reduced", decode_grounding_mode="on_img",
+            **kw
+        ),
+        **mk,
+    )
+    B, P = d["joint/in/box_mask"].shape
+    full_inputs = dict(inputs)
+    full_inputs.update({
+        "vis_box_feat": jnp.zeros((B, P, 7), jnp.float32),
+        "vis_box_mask": jnp.asarray(d["joint/in/box_mask"]),
+        "vis_available": jnp.ones(B, bool),
+    })
+    variables = model.init(jax.random.key(0), full_inputs,
+                           deterministic=True)
+    params = {"params": _joint_params(d, variables["params"])}
+    vis_encoded = {
+        "box": jnp.asarray(d["joint/in/box_feat"]),
+        "rel": jnp.asarray(d["joint/in/rel_feat"]),
+        "attr": jnp.asarray(d["joint/in/attr_feat"]),
+    }
+    L = d["in/tokens"].shape[1]
+    mask = (
+        jnp.arange(L)[None, :]
+        < jnp.asarray(d["in/seq_len"].astype(np.int32))[:, None]
+    )
+    return model, model_red, params, full_inputs, vis_encoded, mask
+
+
+def test_vis_feat_matches_reference(ref, joint):
+    model, _, params, inputs, vis_encoded, _ = joint
+    vis = model.apply(params, inputs, vis_encoded,
+                      method=DependencyBoxRel.vis_feat)
+    np.testing.assert_allclose(
+        np.asarray(vis[0]), ref["joint/out/vis_feat"],
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis[1]), ref["joint/out/vis_mask"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis[2]), ref["joint/out/vis_split"]
+    )
+
+
+def test_lang_feat_word_matches_reference(ref, joint):
+    model, _, params, inputs, _, mask = joint
+    txt = model.apply(params, inputs, {"x": jnp.asarray(ref["in/x_enc"])},
+                      None, mask, True,
+                      method=DependencyBoxRel.lang_feat_word_only)
+    np.testing.assert_allclose(
+        np.asarray(txt[0]), ref["joint/out/word_repr"],
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(txt[1]), ref["joint/out/word_mask"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(txt[2]), ref["joint/out/word_marginal"], rtol=0
+    )
+
+
+def test_lang_feat_max_tree_matches_reference(ref, joint):
+    """Pins the COMPOSITION: Viterbi heads -> the reference's
+    reversed-arc marginal gather (ref: joint.py:264) -> root-mean
+    prepend -> arc factorized bilinear -> [word; arc] packing."""
+    model, _, params, inputs, _, mask = joint
+    lang_score = {
+        "merged_dec": jnp.asarray(ref["ldndmv/out/merged_dec"]),
+        "merged_attach": jnp.asarray(ref["ldndmv/out/merged_attach"]),
+    }
+    txt = model.apply(params, inputs, {"x": jnp.asarray(ref["in/x_enc"])},
+                      lang_score, mask, True,
+                      method=DependencyBoxRel.lang_feat_max_tree)
+    np.testing.assert_array_equal(
+        np.asarray(txt[1]), ref["joint/out/maxdep_mask"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(txt[2]), ref["joint/out/maxdep_marginal"],
+        rtol=1e-4, atol=1e-5, err_msg="txt_marginal",
+    )
+    np.testing.assert_allclose(
+        np.asarray(txt[0]), ref["joint/out/maxdep_txt"],
+        rtol=1e-4, atol=1e-5, err_msg="txt factors",
+    )
+
+
+def _word_txt(ref, joint):
+    model, _, params, inputs, _, mask = joint
+    return model.apply(params, inputs,
+                       {"x": jnp.asarray(ref["in/x_enc"])}, None, mask,
+                       True, method=DependencyBoxRel.lang_feat_word_only)
+
+
+def test_gather_logit_matches_reference(ref, joint):
+    model, model_red, params, inputs, vis_encoded, mask = joint
+    vis = model.apply(params, inputs, vis_encoded,
+                      method=DependencyBoxRel.vis_feat)
+    txt = _word_txt(ref, joint)
+    attmap = model.apply(params, vis, txt,
+                         method=DependencyBoxRel.gather_logit)
+    masked_close(attmap, ref["joint/out/attmap"], rtol=1e-4, atol=1e-5,
+                 msg="attmap")
+    logit = model_red.apply(params, vis, txt,
+                            method=DependencyBoxRel.gather_logit)
+    np.testing.assert_allclose(
+        np.asarray(logit), ref["joint/out/logit_reduced"],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_factor_ce_loss_grads_match_reference(ref, joint):
+    """The self-normalized loss VALUE is degenerate
+    (== num_token * (1 + vis2txt)); the reference chain is pinned
+    through the input GRADIENTS instead (packing -> einsum -> masks ->
+    POS priors -> max -> log_softmax over images -> marginal weighting
+    -> normalization scale)."""
+    model, _, params, inputs, vis_encoded, mask = joint
+    loss_inputs = {"tag": inputs["tag"], "seq_len": inputs["seq_len"]}
+
+    def loss_fn(box, rel, attr, x):
+        vis = model.apply(params, inputs,
+                          {"box": box, "rel": rel, "attr": attr},
+                          method=DependencyBoxRel.vis_feat)
+        txt = model.apply(params, inputs, {"x": x}, None, mask, True,
+                          method=DependencyBoxRel.lang_feat_word_only)
+        att = model.apply(params, vis, txt,
+                          method=DependencyBoxRel.gather_logit)
+        out = {"match_logit": att, "txt_packed": txt, "vis_packed": vis}
+        loss, _ = model.apply(
+            params, out, loss_inputs,
+            method=DependencyBoxRel.loss_grounding_factor_ce,
+        )
+        return loss
+
+    args = (jnp.asarray(ref["joint/in/box_feat"]),
+            jnp.asarray(ref["joint/in/rel_feat"]),
+            jnp.asarray(ref["joint/in/attr_feat"]),
+            jnp.asarray(ref["in/x_enc"]))
+    loss = loss_fn(*args)
+    np.testing.assert_allclose(
+        np.asarray(loss), ref["joint/out/factor_ce_loss"], rtol=1e-5
+    )
+    grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3))(*args)
+    for got, key in zip(grads, ("box", "rel", "attr", "x")):
+        np.testing.assert_allclose(
+            np.asarray(got), ref[f"joint/out/factor_ce_grad_{key}"],
+            rtol=1e-4, atol=1e-6, err_msg=key,
+        )
+
+
+def test_cap_img_loss_matches_reference(ref, joint):
+    _, model_red, params, inputs, vis_encoded, mask = joint
+    vis = model_red.apply(params, inputs, vis_encoded,
+                          method=DependencyBoxRel.vis_feat)
+    txt = _word_txt(ref, joint)
+    logit = model_red.apply(params, vis, txt,
+                            method=DependencyBoxRel.gather_logit)
+    loss, _ = model_red.apply(
+        params, {"match_logit": logit}, inputs,
+        method=DependencyBoxRel.loss_grounding_cap_img,
+    )
+    np.testing.assert_allclose(
+        np.asarray(loss), ref["joint/out/cap_img_loss"], rtol=1e-5
+    )
+
+
+def test_fusion_matches_reference(ref, joint):
+    """aug_with_matching: softmax soft-match over visual factors added
+    into the text encoding + layernorm (ref: joint.py:658-675)."""
+    model, _, params, inputs, vis_encoded, mask = joint
+    fused = model.apply(
+        params, inputs, vis_encoded,
+        {"x": jnp.asarray(ref["in/x_enc"])}, mask, True,
+        method=DependencyBoxRel.fuse_with_matching,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["x"]), ref["joint/out/fused_x"],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_decode_grounding_matches_reference(ref, joint):
+    """on_factor decode (ref: joint.py:512-629): POS priors at 1e10
+    strength -> best-box heuristics for rel/attr -> top-5 -> flat-index
+    to (factor, box-id) mapping; plus the on_img argmax decode."""
+    import json
+
+    model, model_red, params, inputs, vis_encoded, mask = joint
+    vis = model.apply(params, inputs, vis_encoded,
+                      method=DependencyBoxRel.vis_feat)
+    lang_score = {
+        "merged_dec": jnp.asarray(ref["ldndmv/out/merged_dec"]),
+        "merged_attach": jnp.asarray(ref["ldndmv/out/merged_attach"]),
+    }
+    txt = model.apply(params, inputs, {"x": jnp.asarray(ref["in/x_enc"])},
+                      lang_score, mask, True,
+                      method=DependencyBoxRel.lang_feat_max_tree)
+    attmap = model.apply(params, vis, txt,
+                         method=DependencyBoxRel.gather_logit)
+    masked_close(attmap, ref["joint/out/attmap_maxdep"],
+                 rtol=1e-4, atol=1e-5, msg="attmap_maxdep")
+
+    out = {"match_logit": attmap, "vis_packed": vis, "txt_packed": txt}
+    dec = model.apply(params, out, inputs,
+                      method=DependencyBoxRel.decode_grounding_device)
+    box_index = ref["joint/in/box_index"]
+
+    # The -1e10-scale POS-prior/heuristic edits collapse every edited
+    # cell onto an EXACT f32 plateau (ulp(1e10) = 1024 > any score), so
+    # blind top-5 list equality would test torch-argsort tie order.
+    # Pin instead: (1) the full post-edit logit matrix, (2) exact index
+    # agreement at every rank whose value is strictly unique, (3) value
+    # agreement at every rank, (4) the index -> (factor, box-id)
+    # formatter on the REFERENCE's own top-5 indices.
+    ref_logit = ref["joint/out/decode_logit"]  # [B, Q, V] post-edit
+
+    # (1) our decode must re-derive the same edited logits; recompute
+    # them by undoing nothing — decode_grounding_device applies mask ->
+    # prior -> heuristics exactly; recover via a second call that
+    # returns top_k over our logits and compare through the values
+    our_logit = model.apply(
+        params, out, inputs,
+        method=DependencyBoxRel.decode_grounding_logits,
+    )
+    masked_close(our_logit, ref_logit, rtol=1e-4, atol=1e-4,
+                 thresh=-1e19, msg="decode logits")
+
+    ref_idx = ref["joint/out/decode_top5_idx"]  # [B, Q, 5]
+    got_idx = np.asarray(dec["txt_to_factor_idx"])
+    B, Q, _ = got_idx.shape
+    take = np.take_along_axis
+    ref_vals = take(ref_logit, ref_idx, axis=-1)
+    got_vals = take(ref_logit, got_idx, axis=-1)
+    # (3) same value at every rank (ties permute within the plateau)
+    np.testing.assert_allclose(got_vals, ref_vals, rtol=1e-4,
+                               err_msg="top-5 values")
+    # (2) exact index wherever the rank's value is strictly unique in
+    # the whole row
+    for b in range(B):
+        for q in range(Q):
+            row = ref_logit[b, q]
+            for k in range(5):
+                v = ref_vals[b, q, k]
+                if (np.isclose(row, v, rtol=1e-6).sum() == 1):
+                    assert got_idx[b, q, k] == ref_idx[b, q, k], (
+                        b, q, k, v)
+
+    # (4) the host formatter reproduces the reference mapping exactly
+    # on the reference's own indices (bisect group lookup, rel divmod,
+    # box_index translation, mask filtering)
+    got_factor = model.apply(
+        params, jnp.asarray(ref_idx), vis[2], inputs["seq_len"],
+        box_index, txt[1], method=DependencyBoxRel.format_grounding,
+    )
+    want_factor = json.loads(str(ref["joint/out/decode_factor_json"]))
+    assert json.loads(json.dumps(got_factor)) == want_factor
+
+    txt_mask = np.asarray(txt[1])
+    got_img = [
+        [int(v) for v, m in zip(row, mrow) if m]
+        for row, mrow in zip(np.asarray(dec["txt_to_img"]), txt_mask)
+    ]
+    assert got_img == json.loads(str(ref["joint/out/decode_img_json"]))
+
+    # on_img mode: argmax over images of the reduced caption logits
+    txt_w = _word_txt(ref, joint)
+    logit = model_red.apply(params, vis, txt_w,
+                            method=DependencyBoxRel.gather_logit)
+    on_img = model_red.apply(
+        params, {"match_logit": logit, "vis_packed": vis}, inputs,
+        method=DependencyBoxRel.decode_grounding_device,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(on_img["txt_to_img"]), ref["joint/out/decode_on_img"]
+    )

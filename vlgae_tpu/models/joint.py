@@ -366,9 +366,17 @@ class DependencyBoxRel(fnn.Module):
         )  # [B, L+1] head of each position (position 0 = root)
 
         if cfg.add_marginal:
+            # NOTE the reference gathers along the CHILD axis at the
+            # head index (ref: joint.py:264 `arc_margin.gather(-1,
+            # predicted.unsqueeze(-1))`), i.e. row q reads
+            # marg[q, head(q)] — the marginal of the REVERSED arc
+            # (q -> head(q)), not of the predicted arc (head(q) -> q).
+            # The quirk ships in the paper recipe (add_marginal: true,
+            # ref: config/model/vlgae.yaml:44) and is preserved
+            # bit-for-bit here (golden-pinned: test_model_golden.py).
             arc_margin = jnp.take_along_axis(
-                arc_margin, predicted[:, None, :], axis=1
-            )[:, 0]  # [B, L+1] marginal of the chosen arc
+                arc_margin, predicted[..., None].astype(jnp.int32), axis=2
+            )[..., 0]  # [B, L+1]
         else:
             arc_margin = q_mask.astype(jnp.float32)
         txt_marginal = jnp.concatenate(
@@ -638,6 +646,24 @@ class DependencyBoxRel(fnn.Module):
             return logit
         return attmap
 
+    def fuse_with_matching(self, inputs, vis_encoded, encoded, mask,
+                           deterministic, compact: bool = False):
+        """aug_with_matching fusion: soft-match every word against the
+        visual factors and add the matched (pre-projection) features
+        back into the text encoding (ref: joint.py:658-675)."""
+        vis = self.vis_feat(inputs, vis_encoded, return_mid=True)
+        txt_w = self.lang_feat_word_only(
+            inputs, encoded, None, mask, deterministic
+        )
+        fuse_logits = jnp.einsum("bvd,bqd->bqv", vis[0], txt_w[0][:, 1:])
+        if compact:
+            # each off-diagonal pair appears once instead of twice:
+            # +log(2) keeps the softmax identical to the full axis
+            fuse_logits = fuse_logits + self._rel_logmult(vis[2])
+        attmap = jax.nn.softmax(fuse_logits, axis=2)
+        x_aug = jnp.einsum("bqv,bvh->bqh", attmap, vis[3])
+        return {**encoded, "x": self.feat_layernorm(encoded["x"] + x_aug)}
+
     # -- forward --------------------------------------------------------------
     def __call__(self, inputs: Dict[str, Any], *, deterministic: bool = True):
         cfg = self.cfg
@@ -672,20 +698,10 @@ class DependencyBoxRel(fnn.Module):
         # features (ref: joint.py:658-675)
         if (has_vis and cfg.feat_fuse_mode == "attention"
                 and cfg.fuse_aug_with_matching):
-            vis = self.vis_feat(inputs, vis_encoded, return_mid=True)
-            txt_w = self.lang_feat_word_only(
-                inputs, encoded, None, mask, deterministic
+            encoded = self.fuse_with_matching(
+                inputs, vis_encoded, encoded, mask, deterministic,
+                compact=compact,
             )
-            fuse_logits = jnp.einsum("bvd,bqd->bqv", vis[0],
-                                     txt_w[0][:, 1:])
-            if compact:
-                # each off-diagonal pair appears once instead of twice:
-                # +log(2) keeps the softmax identical to the full axis
-                fuse_logits = fuse_logits + self._rel_logmult(vis[2])
-            attmap = jax.nn.softmax(fuse_logits, axis=2)
-            x_aug = jnp.einsum("bqv,bvh->bqh", attmap, vis[3])
-            encoded = {**encoded,
-                       "x": self.feat_layernorm(encoded["x"] + x_aug)}
 
         lang_score = self.dependency(
             inputs, encoded=encoded, deterministic=deterministic
@@ -709,11 +725,16 @@ class DependencyBoxRel(fnn.Module):
         return out
 
     # -- grounding loss (ref: joint.py:439-499) -------------------------------
-    def _pos_prior_mask(self, attmap, tag, vis_split, self_pairs: bool):
+    def _pos_prior_mask(self, attmap, tag, vis_split, self_pairs: bool,
+                        scale: float = 100.0):
         """Subtract a large constant from out-of-prior factor groups.
 
         attmap: [..., Q, V] where Q = 1 + L (+ L arcs). Applies to the
-        word block rows 1..L+1 only (ref: joint.py:444-471).
+        word block rows 1..L+1 only (ref: joint.py:444-471). ``scale``:
+        the loss subtracts 100 (ref: joint.py:466-470), the decode
+        subtracts 1e10 (ref: joint.py:549-551) — the difference matters
+        because the decode heuristic thresholds at -1e5
+        (ref: joint.py:565).
         """
         L = tag.shape[1]
         offset = 0
@@ -735,7 +756,7 @@ class DependencyBoxRel(fnn.Module):
             # penalize the word rows (1..L) of tokens in the prior set for
             # every factor column outside the prior's group
             token_in_prior = jnp.pad(in_prior, ((0, 0), (1, Q - L - 1)))
-            pen = pen - 100.0 * (
+            pen = pen - scale * (
                 token_in_prior[:, :, None] & outside[None, None, :]
             ).astype(attmap.dtype)
             offset += width
@@ -840,25 +861,45 @@ class DependencyBoxRel(fnn.Module):
             # per-caption best image only; the ALIGN column is a
             # placeholder in this mode (ref: joint.py:506-510,633-638)
             return {"txt_to_img": jnp.argmax(match_logit, axis=1)}
-        vis_feat, vis_mask, vis_split = out["vis_packed"][:3]
         factor2img = match_logit.max(-1).argmax(1)  # [B, Q]
+        logit = self.decode_grounding_logits(out, inputs)
+        top_val, top_idx = jax.lax.top_k(logit, topk)  # [B, Q, k]
+        return {
+            "txt_to_factor_idx": top_idx,
+            "txt_to_img": factor2img,
+        }
+
+    def decode_grounding_logits(self, out, inputs):
+        """Post-edit diagonal decode logits [B, Q, V]: deep mask ->
+        POS priors -> best-box heuristics (ref: joint.py:521-592)."""
+        cfg = self.cfg
+        match_logit = out["match_logit"]
+        vis_feat, vis_mask, vis_split = out["vis_packed"][:3]
         logit = jnp.einsum("bbqv->bqv", match_logit)  # [B, Q, V]
+
+        # deep re-mask at the reference's -INF = -1e20
+        # (ref: src/__init__.py:110-121): the matching fill here is a
+        # bf16-safe -1e9, but the decode's POS priors and heuristics
+        # edit at the -1e10/-100 scale (ref: joint.py:549-592), so the
+        # relative order of impossible candidates in the top-5 tail
+        # depends on the fill magnitude — masked cells must sit BELOW
+        # every edited cell, exactly as in the reference
+        txt_mask = out["txt_packed"][1]
+        logit = jnp.where(
+            vis_mask[:, None, :] & txt_mask[:, :, None], logit, -1e20
+        )
 
         if cfg.decode_use_pos_prior:
             pen = self._pos_prior_mask(
-                logit, inputs["tag"], vis_split, self_pairs=False
+                logit, inputs["tag"], vis_split, self_pairs=False,
+                scale=1e10,  # decode strength (ref: joint.py:549-551)
             )
             logit = logit + jax.lax.stop_gradient(pen)
 
         if cfg.decode_use_heuristic:
             logit = self._decode_heuristic(logit, vis_split,
                                            inputs["token"].shape[1])
-
-        top_val, top_idx = jax.lax.top_k(logit, topk)  # [B, Q, k]
-        return {
-            "txt_to_factor_idx": top_idx,
-            "txt_to_img": factor2img,
-        }
+        return logit
 
     def _decode_heuristic(self, logit, vis_split, L):
         """Constrain rel/attr to best-aligned boxes (ref: joint.py:554-592)."""
