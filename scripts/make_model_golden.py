@@ -571,6 +571,58 @@ data["joint/out/decode_img_json"] = np.array(json.dumps(
     [[int(v) for v in row] for row in dec_out["txt_to_img"]]
 ))
 
+# prediction writer (ref: joint.py:718-743 + the on_factor ALIGN
+# formatter joint.py:640-654): full CoNLL text with the ALIGN column(s)
+# built from the decode output above, on stub dataset/vocab shells
+import io  # noqa: E402
+
+
+class _DSStub:
+    """fastNLP DataSet surface write_prediction touches."""
+
+    def __init__(self, rows):
+        self.rows = rows
+
+    def __getitem__(self, k):
+        if isinstance(k, str):
+            return types.SimpleNamespace(
+                content=[r[k] for r in self.rows]
+            )
+        return self.rows[k]
+
+
+class _VocabStub:
+    def __init__(self, words):
+        self._words = words
+
+    def to_word(self, i):
+        return self._words[int(i)]
+
+
+tag_words = [f"TAG{i}" for i in range(N_TAG)]
+ds_rows = [
+    {
+        "seq_len": int(seq_len[b]),
+        "raw_word": [f"w{b}{i}" for i in range(L)],
+        "tag": [int(t) for t in tags[b]],
+    }
+    for b in range(B)
+]
+pred_heads = [[int(h) for h in rng.integers(0, L + 1, L)]
+              for _ in range(B)]
+jm.format_factor_prediction = functools.partial(
+    JM.format_factor_prediction_on_boxrel, jm
+)
+sio = io.StringIO()
+jm.write_prediction(
+    sio,
+    {"arc": pred_heads, "txt_to_factor": dec_out["txt_to_factor"]},
+    _DSStub(ds_rows),
+    {"tag": _VocabStub(tag_words)},
+)
+data["joint/in/pred_heads"] = np.array(pred_heads)
+data["joint/out/predict_text"] = np.array(sio.getvalue())
+
 # on_img decode (ref: joint.py:506-510): argmax over images of the
 # reduced caption logits
 with torch.no_grad():

@@ -557,3 +557,59 @@ def test_decode_grounding_matches_reference(ref, joint):
     np.testing.assert_array_equal(
         np.asarray(on_img["txt_to_img"]), ref["joint/out/decode_on_img"]
     )
+
+
+def test_prediction_writer_matches_reference(ref):
+    """The CoNLL + ALIGN-column writer (ref: joint.py:718-743,640-654)
+    reproduces the reference's full prediction text byte-for-byte on
+    the reference's own decode output (pins the line assembly, the
+    word/arc double ALIGN column, rel 'i-j' rendering, and '|' joins).
+    The PRODUCTION Pipeline.write_predictions runs via a stub self."""
+    import json
+    import types
+
+    from vlgae_tpu.training.pipeline import Pipeline
+
+    want = str(ref["joint/out/predict_text"])
+    factors = json.loads(str(ref["joint/out/decode_factor_json"]))
+
+    def detuple(row):
+        return [
+            (t, tuple(x) if isinstance(x, list) else x) for t, x in row
+        ]
+
+    B, L = ref["in/tokens"].shape
+    tag_words = [f"TAG{i}" for i in range(6)]
+    insts = [
+        {
+            "id": b,
+            "seq_len": int(ref["in/seq_len"][b]),
+            "raw_word": [f"w{b}{i}" for i in range(L)],
+            "tag": [tag_words[t] for t in ref["in/tags"][b]],
+        }
+        for b in range(B)
+    ]
+    outputs = {
+        b: {
+            "arc": [int(h) for h in ref["joint/in/pred_heads"][b]],
+            "txt_to_factor": [detuple(row) for row in factors[b]],
+        }
+        for b in range(B)
+    }
+    fake = types.SimpleNamespace(
+        dm=types.SimpleNamespace(datasets={"dev": insts},
+                                 vocabs={"tag": None}),
+        is_joint=True,
+        model=types.SimpleNamespace(cfg=types.SimpleNamespace(
+            decode_grounding_mode="on_factor",
+            language_factor_mode="word+maxdep",
+        )),
+        _format_factor=Pipeline._format_factor,
+    )
+    import io
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("r", suffix=".conll") as tf:
+        Pipeline.write_predictions(fake, tf.name, "dev", outputs)
+        got = open(tf.name).read()
+    assert got == want
