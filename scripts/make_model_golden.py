@@ -131,6 +131,10 @@ sys.modules["src.model"].ModelBase = base_mod.ModelBase
 _stub("src.model.dmv", DMV=object)  # only touched by setup()/init-phase
 _stub("src.model.dmv_helper", generate_rule_1o=None, LinearPadder=object,
       SquarePadder=object)
+# keep the stub attrs (ldndmv's import) but allow real submodule loads
+sys.modules["src.model.dmv_helper"].__path__ = [
+    os.path.join(REF, "src", "model", "dmv_helper")
+]
 ldndmv_mod = importlib.import_module("src.model.ldndmv")
 sys.modules["src.model.ldndmv"] = ldndmv_mod
 joint_mod = importlib.import_module("src.model.joint")
@@ -630,6 +634,23 @@ with torch.no_grad():
         {"match_logit": logit_red.rename(None)}, vp
     )
 data["joint/out/decode_on_img"] = on_img["txt_to_img"].numpy()
+
+# generate_rule_1o on a battery of head sequences incl. the root-row
+# quirk cases (ref: good_init_nn.py:41-78) — extends the init-table
+# goldens (init_ref.npz) to the per-sentence warmup targets
+gi_mod = importlib.import_module("src.model.dmv_helper.good_init_nn")
+rule_cases = [
+    [0, 1, 1],               # chain off the root
+    [2, 0, 2, 3],            # mixed directions
+    [0],                     # single token
+    [3, 3, 0, 3, 4],         # multi-dependent head + right chain
+    [2, 0, 2, 2, 4, 5, 4],   # deep nesting, both outermost sides
+]
+for ci, heads in enumerate(rule_cases):
+    out_r = gi_mod.generate_rule_1o(heads)
+    data[f"rule1o_{ci}/in/heads"] = np.asarray(heads)
+    for k, v in out_r.items():
+        data[f"rule1o_{ci}/out/{k}"] = np.asarray(v)
 
 np.savez(os.path.join(OUT, "model_ref.npz"), **data)
 print(f"model_ref.npz: {len(data)} arrays")

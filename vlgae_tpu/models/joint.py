@@ -618,9 +618,7 @@ class DependencyBoxRel(fnn.Module):
         att = jnp.where(vis_mask[:, None, :], att, -INF)
         att = jnp.where(txt_mask[:, :, None], att, -INF)
         if with_pen:
-            att = att + self._pos_prior_mask(
-                att, inputs["tag"], vis_split, self_pairs=True
-            )
+            att = att + self._pos_prior_mask(att, inputs["tag"], vis_split)
         return att
 
     # -- gather_logit (ref: joint.py:406-432) --------------------------------
@@ -725,7 +723,7 @@ class DependencyBoxRel(fnn.Module):
         return out
 
     # -- grounding loss (ref: joint.py:439-499) -------------------------------
-    def _pos_prior_mask(self, attmap, tag, vis_split, self_pairs: bool,
+    def _pos_prior_mask(self, attmap, tag, vis_split,
                         scale: float = 100.0):
         """Subtract a large constant from out-of-prior factor groups.
 
@@ -791,7 +789,7 @@ class DependencyBoxRel(fnn.Module):
             B = attmap.shape[0]
             if cfg.loss_use_pos_prior:
                 pen = self._pos_prior_mask(
-                    attmap, inputs["tag"], vis_split, self_pairs=True
+                    attmap, inputs["tag"], vis_split
                 )
                 # apply only on the diagonal (own image) entries. NOTE:
                 # a scatter (`attmap.at[ar, ar].add(pen)`) touches fewer
@@ -863,7 +861,7 @@ class DependencyBoxRel(fnn.Module):
             return {"txt_to_img": jnp.argmax(match_logit, axis=1)}
         factor2img = match_logit.max(-1).argmax(1)  # [B, Q]
         logit = self.decode_grounding_logits(out, inputs)
-        top_val, top_idx = jax.lax.top_k(logit, topk)  # [B, Q, k]
+        _, top_idx = jax.lax.top_k(logit, topk)  # [B, Q, k]
         return {
             "txt_to_factor_idx": top_idx,
             "txt_to_img": factor2img,
@@ -874,7 +872,7 @@ class DependencyBoxRel(fnn.Module):
         POS priors -> best-box heuristics (ref: joint.py:521-592)."""
         cfg = self.cfg
         match_logit = out["match_logit"]
-        vis_feat, vis_mask, vis_split = out["vis_packed"][:3]
+        _, vis_mask, vis_split = out["vis_packed"][:3]
         logit = jnp.einsum("bbqv->bqv", match_logit)  # [B, Q, V]
 
         # deep re-mask at the reference's -INF = -1e20
@@ -891,7 +889,7 @@ class DependencyBoxRel(fnn.Module):
 
         if cfg.decode_use_pos_prior:
             pen = self._pos_prior_mask(
-                logit, inputs["tag"], vis_split, self_pairs=False,
+                logit, inputs["tag"], vis_split,
                 scale=1e10,  # decode strength (ref: joint.py:549-551)
             )
             logit = logit + jax.lax.stop_gradient(pen)
