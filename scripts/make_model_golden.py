@@ -635,6 +635,67 @@ with torch.no_grad():
     )
 data["joint/out/decode_on_img"] = on_img["txt_to_img"].numpy()
 
+# RNNEncoder composition (ref: text_encoder/rnn_encoder.py): the
+# VariationalLSTM building block is pinned in nn_ref.npz; these legs
+# pin the ENCODER wiring — per-layer output selection, multi-layer
+# concat and ScalarMix, the hx (final-state) exposure — plus the
+# context_mode='hx' consumption in ldndmv.extract_sent_repr
+# (ref: ldndmv.py:223-224). Ragged descending lengths (sorted=True).
+_stub_names = ("ScalarMix", "SharedDropout", "VariationalLSTM")
+scalar_mix_mod = importlib.import_module("src.model.nn.scalar_mix")
+dropout_mod = importlib.import_module("src.model.nn.dropout")
+vlstm_mod = importlib.import_module("src.model.nn.variational_lstm")
+nn_stub = sys.modules["src.model.nn"]
+nn_stub.ScalarMix = scalar_mix_mod.ScalarMix
+nn_stub.SharedDropout = dropout_mod.SharedDropout
+nn_stub.VariationalLSTM = vlstm_mod.VariationalLSTM
+sys.modules["src.model.text_encoder"].__path__ = [
+    os.path.join(REF, "src", "model", "text_encoder")
+]
+rnn_mod = importlib.import_module("src.model.text_encoder.rnn_encoder")
+
+RNN_H = 4
+rnn_lengths = np.array([L, L - 1, 2, 1], np.int64)
+rnn_x = _randn(B, L, D_X)
+data["rnn/in/x"] = rnn_x
+data["rnn/in/lengths"] = rnn_lengths
+
+
+def run_rnn(tag: str, **cfg_kw):
+    torch.manual_seed(7)
+    enc = rnn_mod.RNNEncoder(
+        types.SimpleNamespace(embed_size=D_X),
+        hidden_size=RNN_H, num_layers=2, lstm_dropout=0.0,
+        shared_dropout=True, init_version="biased", **cfg_kw,
+    )
+    enc.eval()
+    vp_r = VarPool(seq_len=_t(rnn_lengths))
+    vp_r._pool["seq_len_cpu"] = _t(rnn_lengths)
+    with torch.no_grad():
+        out = enc(_t(rnn_x), vp_r)
+    _save_params(tag, enc)
+    data[f"{tag}/out/x"] = out["x"].numpy()
+    data[f"{tag}/out/hiddens"] = out["hiddens"].numpy()
+    return out
+
+
+rnn_out = run_rnn("rnn_last", output_layers=-1)
+run_rnn("rnn_concat", output_layers=[0, 1])
+run_rnn("rnn_mix", output_layers=[0, 1], mix=True)
+
+# context_mode='hx' consumption of the hx exposure
+m_hx = object.__new__(ldndmv_mod.DiscriminativeNDMV)
+nn.Module.__init__(m_hx)
+m_hx.cfg = types.SimpleNamespace(context_mode="hx",
+                                 variational_mode="none")
+m_hx.variational_enc = None
+m_hx.eval()
+with torch.no_grad():
+    ctx_hx, _ = m_hx.extract_sent_repr(
+        {"x": rnn_out["x"], "hiddens": rnn_out["hiddens"]}
+    )
+data["rnn_last/out/hx_context"] = ctx_hx.numpy()
+
 # generate_rule_1o on a battery of head sequences incl. the root-row
 # quirk cases (ref: good_init_nn.py:41-78) — extends the init-table
 # goldens (init_ref.npz) to the per-sentence warmup targets

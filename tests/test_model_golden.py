@@ -636,3 +636,79 @@ def test_generate_rule_1o_matches_reference(ref):
             )
         ci += 1
     assert ci >= 5
+
+
+def _rnn_params(ref, tag, mix=False):
+    from test_nn_golden import _lstm_cell_params
+
+    d = {k[len(f"{tag}/"):]: ref[k] for k in ref.files
+         if k.startswith(f"{tag}/param")}
+    p = {}
+    for i in range(2):
+        p[f"fwd_{i}"] = {"cell": _lstm_cell_params(d, f"lstm.f_cells.{i}")}
+        p[f"bwd_{i}"] = {"cell": _lstm_cell_params(d, f"lstm.b_cells.{i}")}
+    if mix:
+        p["ScalarMix_0"] = {"weights": d["param/mix.weights"],
+                            "gamma": d["param/mix.gamma"]}
+    return p
+
+
+@pytest.mark.parametrize("tag,kw", [
+    ("rnn_last", dict(output_layers=-1)),
+    ("rnn_concat", dict(output_layers=-2)),
+    ("rnn_mix", dict(output_layers=-2, mix=True)),
+])
+def test_rnn_encoder_matches_reference(ref, tag, kw):
+    """Encoder WIRING on top of the pinned VariationalLSTM block
+    (ref: rnn_encoder.py:158-220): per-layer output selection,
+    multi-layer concat, ScalarMix, and the final-state (hx) exposure
+    — ours emits the LAST layer's (fwd, bwd) pair, which must equal
+    the reference's hx[-2:] used by context_mode='hx'."""
+    from vlgae_tpu.models.text_encoder import RNNEncoder
+
+    x = jnp.asarray(ref["rnn/in/x"])
+    lengths = ref["rnn/in/lengths"]
+    B, L, _ = x.shape
+    mask = jnp.asarray(np.arange(L)[None] < lengths[:, None])
+    enc = RNNEncoder(hidden_size=4, num_layers=2, lstm_dropout=0.0,
+                     init_version="biased", **kw)
+    got = enc.apply(
+        {"params": _rnn_params(ref, tag, mix=kw.get("mix", False))},
+        x, mask,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["x"]), ref[f"{tag}/out/x"],
+        rtol=1e-4, atol=1e-5, err_msg="x",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["hiddens"]), ref[f"{tag}/out/hiddens"][-2:],
+        rtol=1e-4, atol=1e-5, err_msg="hiddens (vs reference hx[-2:])",
+    )
+
+
+def test_hx_context_matches_reference(ref):
+    """context_mode='hx' (ref: ldndmv.py:223-224): the sentence context
+    assembled from the encoder's final states."""
+    enc_out = {
+        "x": jnp.asarray(ref["rnn_last/out/x"]),
+        "hiddens": jnp.asarray(ref["rnn_last/out/hiddens"][-2:]),
+    }
+    emb = CompositeEmbedding(items=(
+        EmbeddingItemCfg("word_embedding", "word", "static",
+                         n_vocab=9, embedding_dim=8),
+    ))
+    cfg = LDNDMVConfig(context_mode="hx", hidden_size=16, n_token=10,
+                       n_tag=6, ff_dropout=0.0)
+    model = DiscriminativeNDMV(cfg=cfg, embedding=emb, encoder=None)
+    B, L, _ = enc_out["x"].shape
+    mask = jnp.asarray(
+        np.arange(L)[None] < ref["rnn/in/lengths"][:, None]
+    )
+    meth = lambda m, e, k: m.extract_sent_repr(e, k, deterministic=True)
+    variables = model.init(jax.random.key(0), enc_out, mask, method=meth)
+    context, kl = model.apply(variables, enc_out, mask, method=meth)
+    assert kl is None
+    np.testing.assert_allclose(
+        np.asarray(context), ref["rnn_last/out/hx_context"],
+        rtol=1e-5, atol=1e-6,
+    )
