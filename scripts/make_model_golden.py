@@ -696,6 +696,56 @@ with torch.no_grad():
     )
 data["rnn_last/out/hx_context"] = ctx_hx.numpy()
 
+# classic tabular DMV + EM M-step (ref: dmv.py:82-186): the per-token
+# table gathers with the triu direction fold, the NLL, and one full EM
+# cycle (E-counts = -grad of the loss; M-step = log-softmax of
+# log(counts + smooth) over root axis 0 / dec axis 3 / trans CHILD
+# axis 1)
+km_real = importlib.import_module("src.model.dmv_helper.km_init")
+good_real = importlib.import_module("src.model.dmv_helper.good_init")
+helper_stub = sys.modules["src.model.dmv_helper"]
+helper_stub.km_init = km_real.km_init
+helper_stub.good_init = good_real.good_init
+sys.modules.pop("src.model.dmv", None)
+dmv_mod = importlib.import_module("src.model.dmv")
+
+mdl = object.__new__(dmv_mod.DMV)
+nn.Module.__init__(mdl)
+mdl.cfg = types.SimpleNamespace(n_token=N_TOKEN, viterbi_training=False)
+mdl.root_param = nn.Parameter(_t(_randn(N_TOKEN)))
+mdl.trans_param = nn.Parameter(_t(_randn(N_TOKEN, N_TOKEN, 2, 2)))
+mdl.dec_param = nn.Parameter(_t(_randn(N_TOKEN, 2, 2, 2)))
+mdl.optimizer = None
+
+dmv_tokens = rng.integers(0, N_TOKEN, (B, L)).astype(np.int64)
+dmv_lengths = np.array([L, L - 1, 3, 2], np.int64)
+data["dmv/in/tokens"] = dmv_tokens
+data["dmv/in/lengths"] = dmv_lengths
+# .copy(): the M-step's apply() swaps the OLD param storage into the
+# accumulators and reset() zeroes it in place — a plain .numpy() view
+# would be wiped before savez
+data["dmv/param/root"] = mdl.root_param.detach().numpy().copy()
+data["dmv/param/trans"] = mdl.trans_param.detach().numpy().copy()
+data["dmv/param/dec"] = mdl.dec_param.detach().numpy().copy()
+
+vp_d = VarPool(seq_len=_t(dmv_lengths))
+vp_d._pool["batch_size"] = B
+vp_d._pool["max_len"] = L
+fwd_d = mdl._forward({"token": _t(dmv_tokens)}, {}, vp_d)
+data["dmv/out/merged_dec"] = fwd_d["merged_dec"].detach().numpy()
+data["dmv/out/merged_attach"] = fwd_d["merged_attach"].detach().numpy()
+loss_d, aux_d = mdl.loss(fwd_d, {}, vp_d)
+data["dmv/out/nll"] = loss_d.detach().numpy()
+
+dmv_mod.DMV._instance = mdl
+opt_d = dmv_mod.DMVMStepOptimizer(None, smooth=0.1)
+loss_d.backward()
+opt_d.step()
+opt_d.apply()
+data["dmv/out/em_root"] = mdl.root_param.detach().numpy()
+data["dmv/out/em_trans"] = mdl.trans_param.detach().numpy()
+data["dmv/out/em_dec"] = mdl.dec_param.detach().numpy()
+
 # generate_rule_1o on a battery of head sequences incl. the root-row
 # quirk cases (ref: good_init_nn.py:41-78) — extends the init-table
 # goldens (init_ref.npz) to the per-sentence warmup targets

@@ -712,3 +712,46 @@ def test_hx_context_matches_reference(ref):
         np.asarray(context), ref["rnn_last/out/hx_context"],
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_classic_dmv_em_matches_reference(ref):
+    """Classic tabular DMV (ref: dmv.py:82-186): table gathers with the
+    triu direction fold, the marginal NLL, and one full EM cycle —
+    E-step counts (grad-of-logZ) -> M-step normalization (log-softmax
+    of log(counts + smooth) over root axis 0 / dec decision axis /
+    trans child axis)."""
+    from vlgae_tpu.models import dmv_model
+
+    params = {
+        "root_param": jnp.asarray(ref["dmv/param/root"]),
+        "trans_param": jnp.asarray(ref["dmv/param/trans"]),
+        "dec_param": jnp.asarray(ref["dmv/param/dec"]),
+    }
+    token = jnp.asarray(ref["dmv/in/tokens"])
+    lengths = jnp.asarray(ref["dmv/in/lengths"].astype(np.int32))
+
+    mdec, mattach = dmv_model.forward(params, token)
+    masked_close(mdec, ref["dmv/out/merged_dec"], rtol=1e-5,
+                 msg="merged_dec")
+    masked_close(mattach, ref["dmv/out/merged_attach"], rtol=1e-5,
+                 msg="merged_attach")
+
+    nll, aux = dmv_model.loss(params, token, lengths, viterbi=False)
+    np.testing.assert_allclose(np.asarray(nll), ref["dmv/out/nll"],
+                               rtol=1e-5)
+
+    em = dmv_model.EMAccumulator(smooth=0.1)
+    em.accumulate(dmv_model.expected_counts(params, token, lengths))
+    new = em.apply(params)
+    np.testing.assert_allclose(
+        np.asarray(new["root_param"]), ref["dmv/out/em_root"],
+        rtol=1e-4, atol=1e-5, err_msg="em root",
+    )
+    np.testing.assert_allclose(
+        np.asarray(new["dec_param"]), ref["dmv/out/em_dec"],
+        rtol=1e-4, atol=1e-5, err_msg="em dec",
+    )
+    np.testing.assert_allclose(
+        np.asarray(new["trans_param"]), ref["dmv/out/em_trans"],
+        rtol=1e-4, atol=1e-5, err_msg="em trans",
+    )
