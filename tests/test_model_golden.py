@@ -755,3 +755,108 @@ def test_classic_dmv_em_matches_reference(ref):
         np.asarray(new["trans_param"]), ref["dmv/out/em_trans"],
         rtol=1e-4, atol=1e-5, err_msg="em trans",
     )
+
+
+# ---------------------------------------------------------------------------
+# decode-edit property sweep: the golden pins ONE configuration; this
+# sweeps random shapes/masks against a NumPy oracle transcribing the
+# reference's decode semantics (ref: joint.py:521-592) — deep -1e20
+# masking, 1e10 POS priors on word rows, best-box heuristics with the
+# rel arc-row exclusion, rel -100 softening + diagonal -1e10 fill, and
+# the attr hard fill. All f32 so the -1e10 rounding collapse is shared.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_POS_GROUPS = {"obj": (0, 1), "rel": (2,), "attr": (4,)}
+
+
+def _oracle_decode(att, vis_mask, txt_mask, tag, P, L):
+    f = np.float32
+    B, Q, V = att.shape
+    logit = np.where(
+        vis_mask[:, None, :] & txt_mask[:, :, None], att, f(-1e20)
+    ).astype(f)
+    vis_split = [P, P * P, P]
+    offset = 0
+    for name, width in zip(("obj", "rel", "attr"), vis_split):
+        ids = np.asarray(_POS_GROUPS[name])
+        in_prior = np.isin(tag, ids)  # [B, L]
+        for b in range(B):
+            for i in range(L):
+                if in_prior[b, i]:
+                    logit[b, 1 + i, :offset] -= f(1e10)
+                    logit[b, 1 + i, offset + width:] -= f(1e10)
+        offset += width
+    box = logit[..., :P]
+    aligned = logit.max(-1)
+    bmax, bidx = box.max(-1), box.argmax(-1)
+    allowed = (bmax == aligned) & (bmax > -1e5)
+    allowed_rel = allowed.copy()
+    allowed_rel[:, L + 1:] = False  # arcs don't contribute (ref:566)
+    am_r = np.zeros((B, P), bool)
+    am_a = np.zeros((B, P), bool)
+    for b in range(B):
+        am_r[b, bidx[b][allowed_rel[b]]] = True
+        am_a[b, bidx[b][allowed[b]]] = True
+    rel = logit[..., P:P + P * P]
+    pair = (am_r[:, :, None] & am_r[:, None, :]).reshape(B, 1, P * P)
+    rel = np.where(pair, rel, rel - f(100.0)).reshape(B, Q, P, P)
+    rel[:, :, np.arange(P), np.arange(P)] = f(-1e10)
+    attr = np.where(am_a[:, None, :], logit[..., P + P * P:], f(-1e10))
+    return np.concatenate([box, rel.reshape(B, Q, P * P), attr], -1)
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(
+    st.data(),
+    st.integers(min_value=2, max_value=4),   # B
+    st.integers(min_value=1, max_value=4),   # L
+    st.integers(min_value=2, max_value=4),   # P
+    st.booleans(),                           # maxdep arc rows present
+)
+def test_decode_logits_match_reference_oracle(ref, joint, data, B, L, P,
+                                              with_arcs):
+    model = joint[0]
+    params = joint[2]
+    V = P + P * P + P
+    Q = (2 if with_arcs else 1) * (L + 1)
+    att = np.asarray(
+        data.draw(st.lists(
+            st.floats(min_value=-5.0, max_value=5.0),
+            min_size=B * B * Q * V, max_size=B * B * Q * V,
+        )), np.float32,
+    ).reshape(B, B, Q, V)
+    seq_len = np.asarray(
+        [data.draw(st.integers(min_value=1, max_value=L))
+         for _ in range(B)], np.int32,
+    )
+    word_mask = np.arange(L)[None] < seq_len[:, None]
+    q_mask = np.concatenate([np.zeros((B, 1), bool), word_mask], 1)
+    txt_mask = np.concatenate([q_mask, q_mask], 1) if with_arcs else q_mask
+    vis_mask = np.asarray(
+        [[data.draw(st.booleans()) for _ in range(P)] for _ in range(B)]
+    )
+    vis_mask[:, 0] = True  # >=1 valid box per image
+    rel_mask = np.triu(
+        vis_mask[:, None, :] & vis_mask[:, :, None], 1
+    ).reshape(B, -1)
+    full_vis_mask = np.concatenate([vis_mask, rel_mask, vis_mask], 1)
+    tag = np.asarray(
+        [[data.draw(st.integers(min_value=0, max_value=5))
+          for _ in range(L)] for _ in range(B)]
+    )
+
+    diag = att[np.arange(B), np.arange(B)]
+    want = _oracle_decode(diag, full_vis_mask, txt_mask, tag, P, L)
+
+    out = {
+        "match_logit": jnp.asarray(att),
+        "vis_packed": (None, jnp.asarray(full_vis_mask),
+                       (P, P * P, P)),
+        "txt_packed": (None, jnp.asarray(txt_mask), None),
+    }
+    inputs = {"tag": jnp.asarray(tag), "token": jnp.asarray(tag)}
+    got = model.apply(params, out, inputs,
+                      method=DependencyBoxRel.decode_grounding_logits)
+    masked_close(got, want, rtol=1e-5, atol=1e-4, thresh=-1e19,
+                 msg=f"B={B} L={L} P={P} arcs={with_arcs}")
