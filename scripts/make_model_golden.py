@@ -648,6 +648,7 @@ vlstm_mod = importlib.import_module("src.model.nn.variational_lstm")
 nn_stub = sys.modules["src.model.nn"]
 nn_stub.ScalarMix = scalar_mix_mod.ScalarMix
 nn_stub.SharedDropout = dropout_mod.SharedDropout
+nn_stub.IndependentDropout = dropout_mod.IndependentDropout
 nn_stub.VariationalLSTM = vlstm_mod.VariationalLSTM
 sys.modules["src.model.text_encoder"].__path__ = [
     os.path.join(REF, "src", "model", "text_encoder")
@@ -695,6 +696,75 @@ with torch.no_grad():
         {"x": rnn_out["x"], "hiddens": rnn_out["hiddens"]}
     )
 data["rnn_last/out/hx_context"] = ctx_hx.numpy()
+
+# embedding adaptor math (ref: embedding/fastnlp_embedding.py +
+# embedding/embedding.py:155-166): count-weighted scalar whitening,
+# per-dimension whitening (torch.std: ddof=1, no epsilon; padding row 0
+# excluded), and the variational adaptor's eval forward (z = posterior
+# mean) + VAE/IB KL
+_stub("fastNLP.embeddings", StaticEmbedding=object, TokenEmbedding=object,
+      CNNCharEmbedding=object, LSTMCharEmbedding=object)
+# the embedding stub keeps its attrs (base/ldndmv imports) but gains a
+# __path__ so the real submodules load
+sys.modules["src.model.embedding"].__path__ = [
+    os.path.join(REF, "src", "model", "embedding")
+]
+femb_mod = importlib.import_module("src.model.embedding.fastnlp_embedding")
+emb_base_mod = importlib.import_module("src.model.embedding.embedding")
+
+emb_table0 = _randn(N_WORD, D_WORD) * 2.0 + 0.5
+emb_counts = rng.integers(1, 50, N_WORD).astype(np.float64)
+data["embnorm/in/table"] = emb_table0
+data["embnorm/in/counts"] = emb_counts
+for method in ("mean", "std", "mean+std"):
+    key = method.replace("+", "_")
+    # count-weighted branch (StaticEmbedding path)
+    ad = object.__new__(femb_mod.FastNLPEmbeddingAdaptor)
+    nn.Module.__init__(ad)
+    ad._normalize_warned = True
+    ad._normalize_weight = None
+    ad.emb = types.SimpleNamespace(
+        embedding=nn.Embedding.from_pretrained(_t(emb_table0.copy())),
+        mapped_counts=_t(emb_counts),
+    )
+    ad.normalize(method)
+    data[f"embnorm/out/counted_{key}"] = (
+        ad.emb.embedding.weight.detach().numpy().copy()
+    )
+    # per-dimension branch (no mapped_counts; padding_idx 0)
+    ad2 = object.__new__(femb_mod.FastNLPEmbeddingAdaptor)
+    nn.Module.__init__(ad2)
+    ad2._normalize_warned = True
+    ad2._normalize_weight = None
+    w2 = nn.Embedding.from_pretrained(_t(emb_table0.copy()))
+    ad2.emb = types.SimpleNamespace(
+        embedding=w2,
+        get_word_vocab=lambda: types.SimpleNamespace(padding_idx=0),
+    )
+    ad2.normalize(method)
+    data[f"embnorm/out/perdim_{key}"] = (
+        w2.weight.detach().numpy().copy()
+    )
+
+for vmode in ("vae", "ib"):
+    torch.manual_seed(11)
+    vad = object.__new__(femb_mod.FastNLPEmbeddingVariationalAdaptor)
+    nn.Module.__init__(vad)
+    vad.mode = vmode
+    vad._embed_size = 3
+    vad.emb = nn.Embedding.from_pretrained(_t(emb_table0))
+    vad.enc = nn.Linear(D_WORD, 2 * 3)
+    if vmode == "ib":
+        vad.gaussian_kl = mkl_mod.MultVariateKLD("sum")
+        vad.target_mean = nn.Parameter(_t(_randn(1, 3)))
+        vad.target_lvar = nn.Parameter(_t(_randn(1, 3, scale=0.3)))
+    vad.eval()
+    vp_e = VarPool(seq_len=_t(seq_len))
+    with torch.no_grad():
+        z = vad(_t(words), vp_e)
+    _save_params(f"embvar_{vmode}", vad)
+    data[f"embvar_{vmode}/out/z"] = z.numpy()
+    data[f"embvar_{vmode}/out/kl"] = vp_e.kl.detach().numpy()
 
 # classic tabular DMV + EM M-step (ref: dmv.py:82-186): the per-token
 # table gathers with the triu direction fold, the NLL, and one full EM

@@ -860,3 +860,63 @@ def test_decode_logits_match_reference_oracle(ref, joint, data, B, L, P,
                       method=DependencyBoxRel.decode_grounding_logits)
     masked_close(got, want, rtol=1e-5, atol=1e-4, thresh=-1e19,
                  msg=f"B={B} L={L} P={P} arcs={with_arcs}")
+
+
+def test_embedding_normalize_matches_reference(ref):
+    """Embedding whitening (ref: fastnlp_embedding.py:30-47 +
+    embedding.py:155-166): the count-weighted scalar branch and the
+    per-dimension branch (torch.std = ddof 1, no epsilon, padding row
+    0 excluded), all three methods."""
+    from vlgae_tpu.models.embedding import normalize_embedding_params
+
+    table = ref["embnorm/in/table"]
+    counts = ref["embnorm/in/counts"]
+    for method in ("mean", "std", "mean+std"):
+        key = method.replace("+", "_")
+        got = normalize_embedding_params(
+            {"t": jnp.asarray(table)}, ("t",), method, counts=counts
+        )["t"]
+        np.testing.assert_allclose(
+            np.asarray(got), ref[f"embnorm/out/counted_{key}"],
+            rtol=1e-5, atol=1e-6, err_msg=f"counted {method}",
+        )
+        got = normalize_embedding_params(
+            {"t": jnp.asarray(table)}, ("t",), method
+        )["t"]
+        np.testing.assert_allclose(
+            np.asarray(got), ref[f"embnorm/out/perdim_{key}"],
+            rtol=1e-4, atol=1e-6, err_msg=f"perdim {method}",
+        )
+
+
+@pytest.mark.parametrize("vmode", ["vae", "ib"])
+def test_variational_embedding_adaptor_matches_reference(ref, vmode):
+    """The variational embedding item's eval forward (z = posterior
+    mean) and its VAE/IB KL (ref: fastnlp_embedding.py:49-81)."""
+    from vlgae_tpu.models.embedding import StaticItem
+
+    tag = f"embvar_{vmode}"
+    item = StaticItem(
+        cfg=EmbeddingItemCfg(
+            "w", "word", "static", n_vocab=9, embedding_dim=8,
+            mode=vmode, out_dim=3,
+        ),
+    )
+    p = {
+        "embedding": ref["embnorm/in/table"] * 0  # replaced below
+    }
+    params = {
+        "embedding": ref[f"{tag}/param/emb.weight"],
+        "enc": dense(ref, f"{tag}/param/enc"),
+    }
+    if vmode == "ib":
+        params["target_mean"] = ref[f"{tag}/param/target_mean"]
+        params["target_lvar"] = ref[f"{tag}/param/target_lvar"]
+    words = jnp.asarray(ref["in/token2word"][ref["in/tokens"]])
+    z, kl = item.apply({"params": params}, words, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(z), ref[f"{tag}/out/z"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(kl), ref[f"{tag}/out/kl"], rtol=1e-4, atol=1e-5
+    )

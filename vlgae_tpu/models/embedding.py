@@ -402,7 +402,9 @@ def normalize_embedding_params(params, path: Tuple[str, ...],
     else:
         data = table[1:]
         mean = data.mean(0, keepdims=True)
-        std = data.std(0, keepdims=True) + 1e-6
+        # torch.std semantics: Bessel-corrected (ddof=1), NO epsilon
+        # (ref: embedding.py:160-166) — golden-pinned
+        std = data.std(0, keepdims=True, ddof=1)
         if method == "mean":
             data = data - mean
         elif method == "std":
