@@ -17,6 +17,20 @@ attention block.
 
 Usage: python scripts/joint_tail_ab.py {base|flatten|rbg|both|nofuse}
 One leg per process (worker crashes must not poison other legs).
+
+Attribution modes (added for the round-3 margin hunt):
+  - ``xlamatch``: match_kernel='xla' — in-situ cost of the fused Pallas
+    matching kernel vs the einsum formulation
+  - ``novis2txt``: loss_vis2txt=0 — cost of the vision->text CE
+    direction (the q-direction max + its backward routing)
+  - ``noprior``: loss_use_pos_prior=False — cost of the diagonal-block
+    recompute with the POS-prior penalty
+  - ``word``: language_factor_mode='word' — cost of the maxdep arc
+    factors (halves Q and drops the two detached DPs + arc encoder)
+  - ``fwdonly``: loss forward only, no grad/optimizer — fwd/bwd split
+  - ``sgmatch``: stop_gradient on the matching maxes — forward
+    identical, backward skips the matching VJP and everything upstream
+    of it (vis/txt packing, encoders); isolates the matching bwd cone
 """
 
 from __future__ import annotations
@@ -62,10 +76,26 @@ def main():
         token2word=tuple(i % N_WORD for i in range(N_TOKEN)),
         token2tag=tuple(i % N_TAG for i in range(N_TOKEN)),
     )
+    if mode == "sgmatch":
+        import vlgae_tpu.models.joint as _joint
+        _orig_gl = _joint.DependencyBoxRel.gather_logit_train
+
+        def _patched(self, vis, txt):
+            l, lv = _orig_gl(self, vis, txt)
+            return jax.lax.stop_gradient(l), jax.lax.stop_gradient(lv)
+
+        _joint.DependencyBoxRel.gather_logit_train = _patched
+
     fuse = "none" if mode == "nofuse" else "attention"
     model = DependencyBoxRel(
-        cfg=DependencyBoxRelConfig(match_hidden=128, bf16_matmul=True,
-                                   feat_fuse_mode=fuse),
+        cfg=DependencyBoxRelConfig(
+            match_hidden=128, bf16_matmul=True, feat_fuse_mode=fuse,
+            match_kernel="xla" if mode == "xlamatch" else "auto",
+            loss_vis2txt=0.0 if mode == "novis2txt" else 1.0,
+            loss_use_pos_prior=mode != "noprior",
+            language_factor_mode=(
+                "word" if mode == "word" else "word+maxdep"),
+        ),
         dep_cfg=dep_cfg, dependency=dep,
         vis_encoder=VisBoxRelSimpleEncoder(n_hidden=256,
                                            dtype=jnp.bfloat16),
@@ -100,6 +130,8 @@ def main():
                                    method=model.loss)
             return total / (B * L)
 
+        if mode == "fwdonly":
+            return params, opt_state, loss_fn(params)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss

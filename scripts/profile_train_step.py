@@ -219,7 +219,9 @@ def main():
         return v + 1e-9 * jnp.sum(g)
 
     dt_att = time_fn(attmap_only, vis_feat, txt_feat)
-    rows.append(("B^2 contrastive attmap + CE losses alone (fwd+bwd)",
+    rows.append(("B^2 attmap + CE, naive einsum upper bound "
+                 "(NOT the production path: the step uses the fused "
+                 "Pallas matching kernel, no [B,A,Q,V] in HBM)",
                  dt_att))
 
     # ---- report ----------------------------------------------------------
