@@ -122,13 +122,18 @@ def main():
 
     def step(params, opt_state, key):
         def loss_fn(p):
-            out = model.apply(p, inputs, deterministic=False,
-                              rngs={"dropout": key, "sample": key})
-            dep_loss, dep_aux = loss_nll(out, inputs["seq_len"],
-                                         viterbi=True)
-            total, _ = model.apply(p, out, None, inputs, dep_loss, dep_aux,
-                                   method=model.loss)
-            return total / (B * L)
+            def fwd(p, key):
+                out = model.apply(p, inputs, deterministic=False,
+                                  rngs={"dropout": key, "sample": key})
+                dep_loss, dep_aux = loss_nll(out, inputs["seq_len"],
+                                             viterbi=True)
+                total, _ = model.apply(p, out, None, inputs, dep_loss,
+                                       dep_aux, method=model.loss)
+                return total / (B * L)
+
+            if mode == "rematall":
+                fwd = jax.checkpoint(fwd)
+            return fwd(p, key)
 
         if mode == "fwdonly":
             return params, opt_state, loss_fn(params)
