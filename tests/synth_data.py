@@ -47,7 +47,7 @@ def random_projective_tree(rng, n):
 
 
 def make_corpus(root, n_imgs=8, feat_dim=64, n_box=12, seed=0,
-                grammar="random", grounded=False):
+                grammar="random", grounded=False, len_range=(3, 7)):
     """grammar: 'random' (random projective trees) or 'right'
     (right-branching: head = previous word) -- the latter gives a
     learnable deterministic structure for training-dynamics tests.
@@ -129,7 +129,7 @@ def make_corpus(root, n_imgs=8, feat_dim=64, n_box=12, seed=0,
         sents = []
         for img_id in ids:
             for s in range(5):
-                n = int(rng.integers(3, 7))
+                n = int(rng.integers(len_range[0], len_range[1]))
                 tags = [TAGS[rng.integers(len(TAGS))] for _ in range(n)]
                 words = [
                     WORDS[t][rng.integers(len(WORDS[t]))] for t in tags
