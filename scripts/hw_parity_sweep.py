@@ -5,7 +5,7 @@ Run this after any kernel/dispatch change that landed while only CPU testing
 was available (the interpret-mode tests catch logic bugs, but Mosaic
 compilation, VMEM layout, and the (m,s) fast paths only exist on hardware).
 
-Covers:
+Covers (30 checks):
   - log-semiring inside (partition) fwd at N in {10, 30, 47, 48, 64}
     (both sides of MS_COMBINE_MIN_N1, the v3-fill gate boundary, and the
     stretch shape)
@@ -17,16 +17,17 @@ Covers:
 Prints PASS/FAIL per leg and exits nonzero on any failure.
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vlgae_tpu import ops
 from vlgae_tpu.ops import dmv_pallas as dp
 from vlgae_tpu.ops import (
     dmv_max_pallas,

@@ -15,7 +15,7 @@ RNG, small layers). Two cheap TPU-idiomatic levers:
 Also times ``feat_fuse_mode='none'`` for attribution of the fusion
 attention block.
 
-Usage: python scripts/joint_tail_ab.py {base|flatten|rbg|both|nofuse}
+Usage: python scripts/joint_tail_ab.py <mode>
 One leg per process (worker crashes must not poison other legs).
 
 Attribution modes (added for the round-3 margin hunt):
@@ -49,8 +49,15 @@ B, L, P = 64, 10, 36
 ITERS = 64
 
 
+MODES = ("base", "flatten", "rbg", "both", "nofuse", "xlamatch",
+         "novis2txt", "noprior", "word", "fwdonly", "sgmatch",
+         "rematall")
+
+
 def main():
     mode = sys.argv[1]
+    if mode not in MODES:
+        raise SystemExit(f"unknown mode {mode!r}; pick one of {MODES}")
     import jax
     import jax.numpy as jnp
     import optax

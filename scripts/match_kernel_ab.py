@@ -48,19 +48,16 @@ def main():
         return (jnp.sum(jnp.tanh(att.max(-1)))
                 + jnp.sum(jnp.tanh(att.max(-2))))
 
-    fn = {"pallas_fwd": f_pallas, "xla_fwd": f_xla,
-          "pallas_io": lambda v_, t_: jax.value_and_grad(
-              f_pallas, argnums=(0, 1))(v_, t_)[0],
-          "xla_io": lambda v_, t_: jax.value_and_grad(
-              f_xla, argnums=(0, 1))(v_, t_)[0]}[leg]
+    base = {"pallas": f_pallas, "xla": f_xla}[leg.split("_")[0]]
     if leg.endswith("_io"):
-        def g(v_, t_):
-            val, grads = jax.value_and_grad(
-                f_pallas if leg.startswith("pallas") else f_xla,
-                argnums=(0, 1))(v_, t_)
+        def fn(v_, t_):
+            val, grads = jax.value_and_grad(base, argnums=(0, 1))(v_, t_)
             return val + sum(jnp.sum(x).astype(jnp.float32)
                              for x in grads)
-        fn = g
+    elif leg.endswith("_fwd"):
+        fn = base
+    else:
+        raise SystemExit(f"unknown leg {leg!r}")
 
     def make_many(n_it):
         @jax.jit

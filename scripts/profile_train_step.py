@@ -229,7 +229,7 @@ def main():
     dev = None
     try:
         import jax as _j
-        dev = str(_j.devices()[0])
+        dev = _j.devices()[0].device_kind
     except Exception:
         pass
     out.append(f"Batch {B}, len {L}, {P} boxes; device: {dev}.")
