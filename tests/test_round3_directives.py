@@ -73,6 +73,11 @@ class StubDM:
     def make_sampler(self, name, shuffle=None):
         return list(range(self.n))
 
+    def sampler(self, name, shuffle=None):
+        # the production accessor returns the cached sampler batches()
+        # iterates; the stub's "sampler" is just the batch index list
+        return self.make_sampler(name, shuffle)
+
     def batches(self, name, shuffle=None):
         for _ in range(self.n):
             yield self.batch

@@ -154,11 +154,15 @@ class DataModule:
             len_round=cfg.get("len_round", 8),
         )
 
-    def batches(self, name, shuffle=None):
-        """Yield (x, y) padded NumPy batch dicts.
+    def sampler(self, name, shuffle=None):
+        """The cached sampler ``batches(name, shuffle)`` iterates.
 
-        Samplers are cached per (split, shuffle) so the epoch-seeded
-        reshuffle advances across epochs (ref: sampler.py:89-95).
+        Callers needing the batch count (progress totals, mid-epoch
+        validation cadence) must read ``len()`` off THIS object: a
+        fresh ``make_sampler`` re-runs the k-means bucketing and a
+        differently-seeded shuffle, whose ``single_sent_threshold``
+        splitting can yield a different batch count than the sampler
+        actually iterated.
         """
         key = (name, shuffle)
         if not hasattr(self, "_sampler_cache"):
@@ -167,6 +171,15 @@ class DataModule:
         if sampler is None:
             sampler = self.make_sampler(name, shuffle)
             self._sampler_cache[key] = sampler
+        return sampler
+
+    def batches(self, name, shuffle=None):
+        """Yield (x, y) padded NumPy batch dicts.
+
+        Samplers are cached per (split, shuffle) so the epoch-seeded
+        reshuffle advances across epochs (ref: sampler.py:89-95).
+        """
+        sampler = self.sampler(name, shuffle)
         ds = self.datasets[name]
         for batch_idx in sampler:
             yield self.collate(name, [ds[i] for i in batch_idx],
@@ -185,11 +198,7 @@ class DataModule:
         for name in ("train", "train_init"):
             if name not in self.datasets:
                 continue
-            key = (name, None)
-            sampler = self._sampler_cache.get(key)
-            if sampler is None:
-                sampler = self.make_sampler(name, None)
-                self._sampler_cache[key] = sampler
+            sampler = self.sampler(name, None)
             sampler.epoch = epoch
             if hasattr(sampler, "_refresh"):
                 sampler._refresh()

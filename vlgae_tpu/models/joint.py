@@ -225,6 +225,14 @@ class DependencyBoxRelConfig:
                 "gather_logit_mode='reduced' produces [B_txt, B_img] "
                 "caption logits; decode_grounding_mode must be 'on_img'"
             )
+        if (self.loss_grounding_mode == "cap_img|ce"
+                and self.gather_logit_mode != "reduced"):
+            raise ValueError(
+                "loss_grounding_mode='cap_img|ce' consumes the [B_txt, "
+                "B_img] caption logits of gather_logit_mode='reduced' "
+                "(ref: joint.py:493-499); 'simple' produces a 4-D "
+                "attention map the caption CE cannot use"
+            )
         if self.match_kernel == "pallas" and self.train_match_chunk > 0:
             raise ValueError(
                 "match_kernel='pallas' and train_match_chunk>0 are "
@@ -702,7 +710,8 @@ class DependencyBoxRel(fnn.Module):
             )
 
         lang_score = self.dependency(
-            inputs, encoded=encoded, deterministic=deterministic
+            inputs, encoded=encoded, emb_aux=(emb, aux),
+            deterministic=deterministic
         )
 
         out = dict(lang_score)
@@ -801,18 +810,30 @@ class DependencyBoxRel(fnn.Module):
             logit = attmap.max(-1)  # [B, A, Q]
             logit_v = attmap.max(-2)  # [B, A, V]
 
+        # batch-padding invariance: pad_batch_to_devices fills the batch
+        # with copies of row 0 (seq_len zeroed). Those filler rows carry
+        # row 0's REAL visual factors, so without masking they enter the
+        # contrastive softmax over images as duplicate positives/negatives
+        # and the loss gradients depend on how much the batch was padded
+        # (the reference never pads: src/pipeline.py runs true batch
+        # sizes). Mask filler images out of the image axis, filler
+        # captions out of the caption axis, and filler diagonal terms
+        # out of both sums — a no-op for unpadded batches.
+        row = inputs["seq_len"] > 0
         num_token = inputs["seq_len"].sum()
+        logit = jnp.where(row[None, :, None], logit, -INF)
         logit = jax.nn.log_softmax(logit, axis=1)
         diag = jnp.einsum("bbq->bq", logit)
-        txt2vis = -(diag * txt_marginal).sum()
+        txt2vis = -(diag * txt_marginal * row[:, None]).sum()
         loss = {
             "txt2vis": txt2vis / (jax.lax.stop_gradient(txt2vis) + 1e-6)
             * num_token
         }
         if cfg.loss_vis2txt > 0:
+            logit_v = jnp.where(row[:, None, None], logit_v, -INF)
             logit_v = jax.nn.log_softmax(logit_v, axis=0)
             diag_v = jnp.einsum("bbv->bv", logit_v)
-            vis2txt = -(diag_v * vis_mask).sum()
+            vis2txt = -(diag_v * vis_mask * row[:, None]).sum()
             loss["mt_vis2txt"] = (
                 cfg.loss_vis2txt * vis2txt
                 / (jax.lax.stop_gradient(vis2txt) + 1e-6) * num_token
@@ -820,11 +841,16 @@ class DependencyBoxRel(fnn.Module):
         return sum(loss.values()), loss
 
     def loss_grounding_cap_img(self, out, inputs):
-        """(ref: joint.py:493-499)"""
+        """(ref: joint.py:493-499). Masked over batch-padding filler
+        rows (see loss_grounding_factor_ce) so the caption-image CE is
+        identical for padded and unpadded batches."""
         logit = out["match_logit"]  # [B, A] from 'reduced' gather
-        B = logit.shape[0]
+        row = inputs["seq_len"] > 0
+        logit = jnp.where(row[None, :], logit, -INF)
         logp = jax.nn.log_softmax(logit, axis=1)
-        loss = -jnp.einsum("bb->b", logp).mean()
+        diag = jnp.einsum("bb->b", logp)
+        n_real = jnp.maximum(row.sum(), 1)
+        loss = -(diag * row).sum() / n_real
         return loss, {"mt": loss}
 
     def loss(self, out, gold, inputs, dep_loss, dep_aux, alpha=None,
@@ -845,7 +871,10 @@ class DependencyBoxRel(fnn.Module):
             mt_loss, mt_aux = jnp.asarray(0.0), {}
         else:
             mt_loss, mt_aux = self.loss_grounding_cap_img(out, inputs)
-        enough = (inputs["vis_available"].sum() >= 2).astype(mt_loss.dtype)
+        # count only REAL rows (padding filler copies row 0's flag,
+        # ref gates on true batch size: joint.py:695)
+        real_avail = inputs["vis_available"] & (inputs["seq_len"] > 0)
+        enough = (real_avail.sum() >= 2).astype(mt_loss.dtype)
         mt_loss = mt_loss * enough * (alpha > 0)
         return alpha * mt_loss + (1 - alpha) * dep_loss, {
             **dep_aux, **mt_aux

@@ -124,6 +124,14 @@ class DiscriminativeNDMV(fnn.Module):
             context = jnp.where(mask[..., None], x, -jnp.inf).max(
                 1, keepdims=True
             )
+            # zero-length padding rows (pad_batch_to_devices) have an
+            # all-false mask: their max is -inf, which would turn into
+            # NaN inside the downstream Dense and poison the batch
+            # gradient through the 0*NaN where-trap. Replace before any
+            # arithmetic; these rows are loss-masked anyway.
+            context = jnp.where(
+                mask.any(-1)[:, None, None], context, 0.0
+            )
         else:
             context = x
 
@@ -165,13 +173,21 @@ class DiscriminativeNDMV(fnn.Module):
 
     # -- forward -------------------------------------------------------------
     def __call__(self, inputs: Dict[str, Any], encoded=None, *,
-                 deterministic: bool = True):
+                 emb_aux=None, deterministic: bool = True):
         cfg = self.cfg
         mask = (
             jnp.arange(inputs["token"].shape[1])[None, :]
             < inputs["seq_len"][:, None]
         )
-        emb, aux = self.embedding(inputs, deterministic=deterministic)
+        # the joint model computes the embedding once for its encoder
+        # and passes it through here, matching the reference's single
+        # embed -> encode -> _forward flow (ref: base.py:56-73) — one
+        # dropout draw shared by the encoder and the token repr, and no
+        # second run of heavyweight items (frozen BERT)
+        if emb_aux is not None:
+            emb, aux = emb_aux
+        else:
+            emb, aux = self.embedding(inputs, deterministic=deterministic)
         if encoded is None:
             encoded = self.encoder(emb, mask, deterministic=deterministic)
         out: Dict[str, Any] = {"encoded": encoded, "emb": emb}

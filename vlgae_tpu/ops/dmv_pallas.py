@@ -60,12 +60,6 @@ def backward_fits_vmem(n1: int) -> bool:
     return _outside_max_launch(n1) > 0
 
 
-def forward_fits_vmem(n1: int) -> bool:
-    n1r = _round8(n1)
-    chart = n1 * 2 * n1r * BT * 4
-    return 6 * chart <= 90 * 1024 * 1024
-
-
 # ---------------------------------------------------------------------------
 # kernel helpers
 # ---------------------------------------------------------------------------

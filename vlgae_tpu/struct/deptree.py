@@ -48,15 +48,6 @@ def _diagonalize2(table, zero):
     return jnp.where(valid[None, :, None, :], out, zero)
 
 
-def mask_potentials(arc, lengths, zero: float):
-    """Zero arc scores touching padding positions (ref: deptree.py:159-161)."""
-    N1 = arc.shape[1]
-    pos = jnp.arange(N1)
-    ok = pos[None, :] <= lengths[:, None]  # [B, N1]
-    keep = ok[:, :, None] & ok[:, None, :]
-    return jnp.where(keep, arc, zero)
-
-
 def deptree_inside(arc, lengths, semiring: type[Semiring] = LogSemiring,
                    remat: bool = False):
     """Inside pass for the single-root projective dependency CRF.

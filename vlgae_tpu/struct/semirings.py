@@ -253,7 +253,10 @@ class EntropySemiring(Semiring):
 
     @classmethod
     def sum(cls, xs, axis=-1):
-        ax = _stack_axis(axis) - 1  # axis within one channel
+        ax = axis  # per-channel view (no stack dim): non-negative axes
+        # need no +1 shift and negative axes index from the end
+        # either way, so the per-channel axis is just `axis`
+        # (_stack_axis(axis)-1 mis-mapped axis=-1 to -2)
         part = jax.nn.logsumexp(xs[0], axis=ax)
         log_sm = xs[0] - jnp.expand_dims(part, ax)
         sm = jnp.exp(log_sm)
@@ -311,7 +314,7 @@ class CrossEntropySemiring(_PairedExpectation):
 
     @classmethod
     def sum(cls, xs, axis=-1):
-        ax = _stack_axis(axis) - 1
+        ax = axis  # per-channel view, see EntropySemiring.sum
         part_p = jax.nn.logsumexp(xs[0], axis=ax)
         part_q = jax.nn.logsumexp(xs[1], axis=ax)
         log_sm_p = xs[0] - jnp.expand_dims(part_p, ax)
@@ -326,7 +329,7 @@ class KLDivergenceSemiring(_PairedExpectation):
 
     @classmethod
     def sum(cls, xs, axis=-1):
-        ax = _stack_axis(axis) - 1
+        ax = axis  # per-channel view, see EntropySemiring.sum
         part_p = jax.nn.logsumexp(xs[0], axis=ax)
         part_q = jax.nn.logsumexp(xs[1], axis=ax)
         log_sm_p = xs[0] - jnp.expand_dims(part_p, ax)
@@ -358,7 +361,7 @@ class RiskSemiring(_PairedExpectation):
 
     @classmethod
     def sum(cls, xs, axis=-1):
-        ax = _stack_axis(axis) - 1
+        ax = axis  # per-channel view, see EntropySemiring.sum
         part_p = jax.nn.logsumexp(xs[0], axis=ax)
         log_sm_p = xs[0] - jnp.expand_dims(part_p, ax)
         sm_p = jnp.exp(log_sm_p)

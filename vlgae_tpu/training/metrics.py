@@ -19,6 +19,11 @@ class MetricBase:
     def reset(self):
         for k in self._state_names():
             setattr(self, k, 0.0)
+        # non-state flags derived from what update() saw must clear too
+        # (has_label would otherwise stick across evaluations and emit
+        # spurious las/lcm zeros forever after one labeled batch)
+        if hasattr(self, "has_label"):
+            self.has_label = False
 
     def _state_names(self) -> List[str]:
         return [k for k in vars(self) if k.startswith("s_")]

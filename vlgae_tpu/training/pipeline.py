@@ -558,7 +558,7 @@ class Pipeline:
         win_sums: Dict[str, Any] = {}  # device scalars
         win_n = 0
         t0 = time.time()
-        sampler_len = len(self.dm.make_sampler(split))
+        sampler_len = len(self.dm.sampler(split))
         val_every = (
             max(1, int(sampler_len * val_check_interval))
             if val_fn is not None and 0 < val_check_interval < 1 else None
