@@ -55,6 +55,9 @@ int vlgae_npy_header(const char* path, int64_t* rows, int64_t* cols,
     size_t dt = header.find("'descr':");
     *dtype_size = 4;
     if (dt != std::string::npos) {
+        // big-endian data would parse to garbage floats; reject it
+        // (numpy writes '<f4'/'<f8' on every supported platform)
+        if (header.find("'>f", dt) != std::string::npos) return -5;
         if (header.find("f8", dt) != std::string::npos) *dtype_size = 8;
         else if (header.find("f4", dt) != std::string::npos) *dtype_size = 4;
         else return -5;
@@ -62,7 +65,11 @@ int vlgae_npy_header(const char* path, int64_t* rows, int64_t* cols,
     size_t sh = header.find("'shape':");
     if (sh == std::string::npos) return -6;
     size_t open = header.find('(', sh);
+    if (open == std::string::npos) return -6;
     size_t close = header.find(')', open);
+    // a truncated header must return an error code, not throw
+    // std::out_of_range through the C ABI (ctypes would crash)
+    if (close == std::string::npos) return -6;
     std::string shape = header.substr(open + 1, close - open - 1);
     long long r = 0, c = 1;
     if (std::sscanf(shape.c_str(), "%lld , %lld", &r, &c) < 1) {
