@@ -45,8 +45,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 
-B, L, P = 64, 10, 36
-ITERS = 64
+B = int(os.environ.get("AB_B", 64))
+L = int(os.environ.get("AB_L", 10))
+P = int(os.environ.get("AB_P", 36))
+ITERS = int(os.environ.get("AB_ITERS", 64))
 
 
 MODES = ("base", "flatten", "rbg", "both", "nofuse", "xlamatch",
