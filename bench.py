@@ -81,6 +81,25 @@ def _start_watchdog() -> None:
     threading.Thread(target=watch, daemon=True).start()
 
 
+def _setup_compile_cache() -> None:
+    """Persistent XLA compilation cache, same default dir the Pipeline
+    uses (~/.cache/vlgae_tpu/xla). Bench compiles are identical run to
+    run and a cold joint-model compile through the tunnel costs minutes
+    — a rehearsal run pre-warms the driver's end-of-round run. Disable
+    with BENCH_COMPILE_CACHE=0; BENCH_COMPILE_CACHE=<path> overrides."""
+    import jax
+
+    cache = os.environ.get("BENCH_COMPILE_CACHE", "1")
+    if cache == "0" or jax.config.jax_compilation_cache_dir:
+        return
+    path = cache if cache not in ("", "1") else os.path.expanduser(
+        "~/.cache/vlgae_tpu/xla"
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    print(f"[bench] compile cache: {path}", file=sys.stderr, flush=True)
+
+
 def _probe_device() -> None:
     """One tiny op through the default backend, so a dead endpoint is
     caught by the watchdog here — with a clear message — rather than
@@ -88,6 +107,7 @@ def _probe_device() -> None:
     import jax
     import jax.numpy as jnp
 
+    _setup_compile_cache()
     n = len(jax.devices())
     val = float(jnp.ones((8, 8)).sum())
     print(f"[bench] device probe ok: {n} device(s), sum={val}",
