@@ -1,12 +1,15 @@
 """Standalone same-window timing of the matching-maxes formulations at
-reference train-step scale (A=B=64 images, V=703 compact factors,
-Q=22 queries, D=130 features).
+reference train-step scale. Default shape is the exp=vlgae joint scale
+(A=B=64 images, V=703 compact factors, Q=101 queries = 1+L+L at the
+recipe's max_len 50, D=130 features); override any of A/B/Q/V/D/ITERS
+via MATCH_AB_<NAME> env vars.
 
 Legs (one per process — worker crashes must not poison other legs):
   pallas_fwd   fused kernel, primal only
   pallas_io    fused kernel, value_and_grad
   xla_fwd      einsum + maxes, primal only
   xla_io       einsum + maxes, value_and_grad
+  parity       kernel vs einsum values + one-winner grads on device
 
 Usage: python scripts/match_kernel_ab.py <leg>
 """
@@ -23,12 +26,65 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 
-A, B, Q, V, D = 64, 64, 22, 703, 130
-ITERS = 128
+
+def _env(name, default):
+    return int(os.environ.get(f"MATCH_AB_{name}", default))
+
+
+A, B, Q, V, D = (_env("A", 64), _env("B", 64), _env("Q", 101),
+                 _env("V", 703), _env("D", 130))
+ITERS = _env("ITERS", 128)
+
+
+def run_parity():
+    """Device parity: kernel fwd bit-equals the f32-accumulated einsum
+    maxes; bwd routes cotangents to the first argmax winner."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlgae_tpu.ops.match_pallas import match_maxes_fits, match_maxes_pallas
+
+    assert match_maxes_fits(A, V, D, B, Q), "gate must admit this shape"
+    rng = np.random.default_rng(7)
+    # bf16-exact quarter-integers: f32 einsum == bf16 GEMM w/ f32 acc
+    vis = jnp.asarray(rng.integers(-8, 9, (A, V, D)) * 0.25, jnp.float32)
+    txt = jnp.asarray(rng.integers(-8, 9, (B, Q, D)) * 0.25, jnp.float32)
+    wm = jnp.asarray(rng.integers(-8, 9, (B, A, Q)) * 0.25, jnp.float32)
+    wmv = jnp.asarray(rng.integers(-8, 9, (B, A, V)) * 0.25, jnp.float32)
+
+    @jax.jit
+    def kern(v_, t_):
+        def loss(v, t):
+            m, mv = match_maxes_pallas(v, t)
+            return jnp.sum(m * wm) + jnp.sum(mv * wmv), (m, mv)
+        (_, (m, mv)), g = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(v_, t_)
+        return m, mv, g
+
+    m, mv, (dvis, dtxt) = jax.tree.map(np.asarray, kern(vis, txt))
+    att = np.einsum("avd,bqd->baqv", np.asarray(vis), np.asarray(txt),
+                    dtype=np.float32)
+    np.testing.assert_array_equal(m, att.max(-1))
+    np.testing.assert_array_equal(mv, att.max(-2))
+    datt = np.zeros_like(att)
+    im = att.argmax(-1)
+    b, a, q = np.ogrid[:B, :A, :Q]
+    np.add.at(datt, (b, a, q, im), np.asarray(wm))
+    iq = att.argmax(-2)
+    b, a, v = np.ogrid[:B, :A, :V]
+    np.add.at(datt, (b, a, iq, v), np.asarray(wmv))
+    want_dvis = np.einsum("baqv,bqd->avd", datt, np.asarray(txt))
+    want_dtxt = np.einsum("baqv,avd->bqd", datt, np.asarray(vis))
+    np.testing.assert_allclose(dvis, want_dvis, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dtxt, want_dtxt, rtol=1e-5, atol=1e-5)
+    print(json.dumps({"leg": "parity", "shape": [A, B, Q, V, D],
+                      "ok": True}), flush=True)
 
 
 def main():
     leg = sys.argv[1]
+    if leg == "parity":
+        return run_parity()
     import jax
     import jax.numpy as jnp
 

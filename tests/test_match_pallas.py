@@ -112,6 +112,76 @@ def test_masked_columns_stay_below_real_scores():
     assert float(np.asarray(logit_v)[0, 0, 0]) < -1e8
 
 
+def _route_one_winner(att, dm, dmv, vis, txt):
+    """First-winner (torch .max) cotangent routing, vectorized."""
+    Bn, An, Qn, Vn = att.shape
+    datt = np.zeros_like(att)
+    im = att.argmax(-1)
+    b, a, q = np.ogrid[:Bn, :An, :Qn]
+    np.add.at(datt, (b, a, q, im), dm)
+    iq = att.argmax(-2)
+    b, a, v = np.ogrid[:Bn, :An, :Vn]
+    np.add.at(datt, (b, a, iq, v), dmv)
+    want_dvis = np.einsum("baqv,bqd->avd", datt, np.asarray(txt))
+    want_dtxt = np.einsum("baqv,avd->bqd", datt, np.asarray(vis))
+    return want_dvis, want_dtxt
+
+
+@pytest.mark.parametrize(
+    "An,Vn,Bn,Qn,Dn",
+    [
+        (2, 16, 4, 64, 7),    # one full 64-q block
+        (2, 37, 8, 101, 10),  # the paper-recipe Q (len-50: 1+L+L), ragged
+        (3, 10, 12, 33, 7),   # awkward gcd(B,128) + masked tail block
+        (2, 9, 4, 130, 5),    # 3+ q-blocks with a masked tail
+    ],
+)
+def test_blocked_q_grid_matches_numpy(An, Vn, Bn, Qn, Dn):
+    """Fwd values + one-winner bwd routing at shapes past the old
+    whole-Q unroll gate (VERDICT r3 #1: Q in {64, 101, ragged})."""
+    from vlgae_tpu.ops.match_pallas import _plan, match_maxes_fits
+
+    assert match_maxes_fits(An, Vn, Dn, Bn, Qn)
+    blkQ, nQB, _, _ = _plan(Vn, Dn, Bn, Qn)
+    if Qn >= 101:
+        assert nQB >= 2, "recipe shapes must exercise multiple q-blocks"
+    rng = np.random.default_rng(Qn * 31 + Bn)
+    vis = jnp.asarray(
+        rng.integers(-8, 9, (An, Vn, Dn)).astype(np.float32) * 0.25)
+    txt = jnp.asarray(
+        rng.integers(-8, 9, (Bn, Qn, Dn)).astype(np.float32) * 0.25)
+    wm = jnp.asarray(rng.integers(-8, 9, (Bn, An, Qn)) * 0.25, jnp.float32)
+    wmv = jnp.asarray(rng.integers(-8, 9, (Bn, An, Vn)) * 0.25, jnp.float32)
+
+    def loss(v, t):
+        m, mv = match_maxes_pallas(v, t, True)
+        return jnp.sum(m * wm) + jnp.sum(mv * wmv), (m, mv)
+
+    (_, (m, mv)), (dvis, dtxt) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(vis, txt)
+    att, want_m, want_mv = _np_reference(vis, txt)
+    np.testing.assert_array_equal(np.asarray(m), want_m)
+    np.testing.assert_array_equal(np.asarray(mv), want_mv)
+    want_dvis, want_dtxt = _route_one_winner(
+        att, np.asarray(wm), np.asarray(wmv), vis, txt)
+    np.testing.assert_allclose(np.asarray(dvis), want_dvis, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dtxt), want_dtxt, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_fits_gate_recipe_and_fallback_shapes():
+    """The paper recipe's joint shape (len-50: Q~101, 36 boxes -> 703
+    compact factors, B=64) must take the kernel; degenerate shapes must
+    be rejected rather than crash."""
+    from vlgae_tpu.ops.match_pallas import match_maxes_fits
+
+    assert match_maxes_fits(64, 703, 130, 64, 101)   # exp=vlgae scale
+    assert match_maxes_fits(64, 739, 130, 64, 129)   # len-64 stretch
+    assert not match_maxes_fits(2, 8, 4, 0, 5)       # empty batch
+    assert not match_maxes_fits(2, 8, 4, 101, 5)     # B=101: s=128 > cap
+
+
 @pytest.mark.slow
 def test_model_level_kernel_path_matches_xla():
     """gather_logit_train with match_kernel='pallas' (interpret on CPU)

@@ -532,8 +532,9 @@ class DependencyBoxRel(fnn.Module):
             and data_parallel_degree() <= 1
         )
         # shape gate, like every other Pallas path: fall back to the
-        # einsum when the kernel's VMEM footprint or q-unroll would not
-        # fit (e.g. word+alldep's (L+1)^2 queries, very large batches)
+        # einsum when no legal q-block keeps the kernel inside VMEM
+        # (e.g. word+alldep's (L+1)^2 queries, odd tiny batches). The
+        # paper recipe's len-50 shapes (Q ~ 101) fit via q-blocking.
         use_pallas = use_pallas and match_maxes_fits(
             vis_b.shape[0], vis_b.shape[1], D2,
             txt_b.shape[0], txt_b.shape[1],

@@ -10,17 +10,29 @@ the pairwise matching product (ref: src/model/joint.py:406-499)
 but XLA materializes the full [B, A, Q, V] product to HBM once in each
 direction (~0.5GB at reference scale), and its autodiff re-materializes
 it again backward — the round-2 profile put this stack at 71% of the
-joint train step. Here every per-image slab ``att_a = vis_a @ txt^T``
-([V, B*Q], ~4MB) lives only in VMEM: one MXU GEMM per image, both maxes
-reduced in-register, only the [.., Q] / [.., V] maxima (plus int32
-argmax indices) reach HBM.
+joint train step. Here every (image, q-block) slab ``att = vis_a @
+txt_blk^T`` ([V, blkQ*B], a few MB) lives only in VMEM: one MXU GEMM
+per grid step, both maxes reduced in-register, only the [.., Q] /
+[.., V] maxima (plus int32 argmax indices) reach HBM.
+
+The grid is (A, n_qblocks): queries are processed in static blocks of
+at most ``_MAX_UNROLL_Q`` q's (the per-block lane loop is Python-
+unrolled; the tail block is masked by a runtime global-q bound), so the
+kernel admits arbitrary Q — in particular the paper recipe's len-50
+joint shapes (Q = 1 + L + L ~ 101) that the round-3 kernel's whole-Q
+unroll excluded. The running (max, argmax)-over-q accumulates across
+q-blocks in the revisited [V, B] output block; argmax indices are
+GLOBAL q, and strict-greater updates keep the first winner across
+blocks exactly as within one.
 
 The backward is argmax-routed from the saved indices (the one-winner
 subgradient of torch's ``.max()``, which the reference relies on — XLA's
 max-autodiff splits ties instead): the winner masks are assembled as a
-sparse [V, B*Q] matrix W and both gradients are two more MXU GEMMs per
-image (``dvis_a = W @ txt``, ``dtxt += W^T @ vis_a``) — no [B,A,Q,V]
-tensor exists in either pass.
+sparse [V, blkQ*B] matrix W and both gradients are two more MXU GEMMs
+per step (``dvis_a += W @ txt_blk``, accumulated over q-blocks;
+``dtxt[qblock] += W^T @ vis_a``, accumulated over images into a
+VMEM-resident full [Qpad*B, D] block) — no [B,A,Q,V] tensor exists in
+either pass.
 
 Compute dtype is bf16 with f32 accumulation (matching the XLA path's
 ``bf16_matmul``); masks are folded into the feature dimension by the
@@ -30,6 +42,7 @@ caller exactly as in the XLA path.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -43,85 +56,134 @@ def _rup(x, m):
 
 
 # largest per-grid-step VMEM footprint the kernels may take (the v5e
-# has 128MB; leave room for double-buffering and the compiler's stack)
+# has 128MB; leave room for double-buffering and the compiler's stack).
+# v5e-derived; re-derive on other parts with scripts/derive_kernel_gates.py
 _VMEM_BUDGET = 56 * 1024 * 1024
-# the q-loops are Python-unrolled: cap the unroll size
-_MAX_Q = 64
+# per-q-block lane loops are Python-unrolled: cap the unroll size
+_MAX_UNROLL_Q = 64
+
+
+def _plan(V, D, B, Q):
+    """Pick the q-block size, or None when no legal block fits.
+
+    A q-block of ``blkQ`` queries spans ``blkQ * B`` lanes; BlockSpec
+    needs that to be 128-divisible, so blkQ must be a multiple of
+    ``s = 128 / gcd(B, 128)``. Within that constraint we take the
+    largest block under the unroll cap that keeps the bigger (backward)
+    step inside the VMEM budget.
+
+    Returns (blkQ, nQB, Vp, Dp) or None.
+    """
+    if min(V, D, B, Q) < 1:
+        return None
+    s = 128 // math.gcd(B, 128)
+    if s > _MAX_UNROLL_Q:
+        return None  # tiny odd batches: the einsum path is fine there
+    Vp = _rup(V, 8)
+    Dp = _rup(D, 128)
+    blkQ = min((_MAX_UNROLL_Q // s) * s, _rup(Q, s))
+    while blkQ >= s:
+        nQB = -(-Q // blkQ)
+        Lpad = nQB * blkQ * B
+        blkL = blkQ * B
+        # double-buffered blocks + single-buffered temporaries/full blocks
+        fwd = (
+            2 * (Dp * blkL * 2 + Vp * Dp * 2 + 2 * blkL * 4 + 2 * Vp * B * 4)
+            + Vp * blkL * 4
+        )
+        bwd = (
+            2 * (Dp * blkL * 2 + Vp * Dp * 2 + 2 * blkL * 4
+                 + 2 * Vp * B * 4 + Vp * Dp * 4)
+            + Lpad * Dp * 4          # dtxt accumulator (constant-index block)
+            + Vp * blkL * (4 + 2)    # f32 W assembly + bf16 cast
+            + blkL * Dp * 4          # per-step dtxt contribution
+        )
+        if max(fwd, bwd) <= _VMEM_BUDGET:
+            return blkQ, nQB, Vp, Dp
+        blkQ -= s
+    return None
 
 
 def match_maxes_fits(A, V, D, B, Q) -> bool:
     """Whether the fused kernel is applicable at this shape (callers
-    fall back to the XLA einsum path otherwise). Checks the Python
-    q-unroll size and the per-grid-step VMEM footprint of the larger
-    (backward) kernel: txtT + vis/dvis blocks + dm/dmv/im/iv + the
-    dtxt accumulator block + the in-kernel att/W temporaries."""
-    if Q > _MAX_Q:
-        return False
-    Vp = _rup(V, 8)
-    Dp = _rup(D, 128)
-    QBp = _rup(Q * B, 128)
-    per_img = Vp * Dp * (2 + 4) + (2 * QBp + 2 * Vp * B) * 4
-    shared = Dp * QBp * 2 + QBp * Dp * 4
-    temps = Vp * QBp * (4 + 2)  # f32 att (fwd) / bf16 W + slack (bwd)
-    # blocks are double-buffered by the grid pipeline; temporaries not
-    return 2 * (shared + per_img) + temps <= _VMEM_BUDGET
+    fall back to the XLA einsum path otherwise)."""
+    return _plan(V, D, B, Q) is not None
 
 
-def _fwd_kernel(Q, B, V, Vp, txtT_ref, vis_ref,
+def _fwd_kernel(blkQ, B, V, Q, Vp, txtT_ref, vis_ref,
                 m_ref, im_ref, mv_ref, iv_ref):
-    """Grid step = one image a: att = vis_a @ txt^T, both maxes."""
+    """Grid step = (image a, q-block j): att = vis_a @ txt_blk^T,
+    max/argmax over v per lane, running max/argmax over global q."""
+    j = pl.program_id(1)
     vis_a = vis_ref[0]                      # [Vp, Dp] bf16
     att = lax.dot_general(
         vis_a, txtT_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                        # [Vp, QBp] f32
+    )                                        # [Vp, blkQ*B] f32
     # zero-padded factor rows must never win a max (real scores can be
     # negative, and masked columns sit near the caller's -INF bias)
     iota_v = lax.broadcasted_iota(jnp.int32, att.shape, 0)
     att = jnp.where(iota_v < V, att, -jnp.inf)
 
-    # max/first-argmax over v (sublane axis)
-    m = jnp.max(att, axis=0)                 # [QBp]
+    # max/first-argmax over v (sublane axis); garbage at padded-q lanes
+    # in the tail block — the caller slices them away
+    m = jnp.max(att, axis=0)                 # [blkQ*B]
     im = jnp.min(jnp.where(att == m[None, :], iota_v, Vp), axis=0)
     m_ref[0, 0, :] = m
     im_ref[0, 0, :] = im.astype(jnp.int32)
 
-    # running max/first-argmax over q (static lane-block loop)
-    mv = jnp.full((Vp, B), -jnp.inf, jnp.float32)
-    iv = jnp.zeros((Vp, B), jnp.int32)
-    for q in range(Q):
+    # running max/first-argmax over GLOBAL q, accumulated across blocks
+    # (the [Vp, B] block is revisited consecutively along the q-block
+    # grid axis). Padded tail q's never update (gq >= Q).
+    @pl.when(j == 0)
+    def _():
+        mv_ref[0] = jnp.full((Vp, B), -jnp.inf, jnp.float32)
+        iv_ref[0] = jnp.zeros((Vp, B), jnp.int32)
+
+    mv = mv_ref[0]
+    iv = iv_ref[0]
+    for q in range(blkQ):
+        gq = j * blkQ + q
         blk = att[:, q * B:(q + 1) * B]
-        upd = blk > mv
+        upd = jnp.logical_and(blk > mv, gq < Q)
         mv = jnp.where(upd, blk, mv)
-        iv = jnp.where(upd, q, iv)
-    mv_ref[0, :, :] = mv
-    iv_ref[0, :, :] = iv
+        iv = jnp.where(upd, gq, iv)
+    mv_ref[0] = mv
+    iv_ref[0] = iv
 
 
-def _bwd_kernel(Q, B, Vp, QBp, txtT_ref, vis_ref, im_ref, iv_ref,
+def _bwd_kernel(blkQ, B, Vp, Q, txtT_ref, vis_ref, im_ref, iv_ref,
                 dm_ref, dmv_ref, dvis_ref, dtxt_ref):
-    """Grid step = one image a: winner-mask W, two GEMMs.
+    """Grid step = (image a, q-block j): winner-mask W, two GEMMs.
 
-    ``dtxt`` sums over images: its block is revisited every grid step
-    (zeroed at a = 0, accumulated after) — the TPU grid is sequential.
+    ``dvis`` sums over q-blocks (its [Vp, Dp] block is revisited along
+    the minor grid axis: zeroed at j = 0, accumulated after); ``dtxt``
+    sums over images into a constant-index full block (zeroed at the
+    first grid step), with each step accumulating its q-block's rows —
+    the TPU grid is sequential.
     """
+    a = pl.program_id(0)
+    j = pl.program_id(1)
+    blkL = blkQ * B
     vis_a = vis_ref[0]                       # [Vp, Dp] bf16
-    dm = dm_ref[0, 0, :]                     # [QBp] f32
-    im = im_ref[0, 0, :]                     # [QBp] i32
+    dm = dm_ref[0, 0, :]                     # [blkL] f32 (0 at padded q)
+    im = im_ref[0, 0, :]                     # [blkL] i32
     dmv = dmv_ref[0]                         # [Vp, B] f32
-    iv = iv_ref[0]                           # [Vp, B] i32
+    iv = iv_ref[0]                           # [Vp, B] i32 (global q)
 
-    # v-direction winners: W1[v, j] = [v == im[j]] * dm[j]
-    iota_v = lax.broadcasted_iota(jnp.int32, (Vp, QBp), 0)
+    # v-direction winners: W1[v, l] = [v == im[l]] * dm[l]
+    iota_v = lax.broadcasted_iota(jnp.int32, (Vp, blkL), 0)
     w = jnp.where(iota_v == im[None, :], dm[None, :], 0.0)
-    # q-direction winners, assembled q-block by q-block on the lane axis
-    blocks = [jnp.where(iv == q, dmv, 0.0) for q in range(Q)]
-    pad = QBp - Q * B
-    if pad:
-        blocks.append(jnp.zeros((Vp, pad), jnp.float32))
+    # q-direction winners, assembled lane-block by lane-block; each
+    # global q lives in exactly one q-block, so no double counting
+    blocks = [jnp.where(iv == j * blkQ + q, dmv, 0.0) for q in range(blkQ)]
     w = (w + jnp.concatenate(blocks, axis=1)).astype(jnp.bfloat16)
 
-    dvis_ref[0, :, :] = lax.dot_general(
+    @pl.when(j == 0)
+    def _():
+        dvis_ref[0] = jnp.zeros_like(dvis_ref[0])
+
+    dvis_ref[0] += lax.dot_general(
         w, txtT_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                        # [Vp, Dp]
@@ -129,73 +191,81 @@ def _bwd_kernel(Q, B, Vp, QBp, txtT_ref, vis_ref, im_ref, iv_ref,
     contrib = lax.dot_general(
         w, vis_a, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                        # [QBp, Dp]
+    )                                        # [blkL, Dp]
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(jnp.logical_and(a == 0, j == 0))
     def _():
         dtxt_ref[...] = jnp.zeros_like(dtxt_ref)
 
-    dtxt_ref[...] += contrib
+    rows = pl.ds(j * blkL, blkL)
+    dtxt_ref[rows, :] += contrib
 
 
-def _pad_inputs(vis_b, txt_b):
+def _pad_inputs(vis_b, txt_b, plan):
     A, V, D = vis_b.shape
     B, Q, _ = txt_b.shape
-    Vp = _rup(V, 8)
-    Dp = _rup(D, 128)
-    QBp = _rup(Q * B, 128)
+    blkQ, nQB, Vp, Dp = plan
+    Lpad = nQB * blkQ * B
     vis = jnp.pad(vis_b.astype(jnp.bfloat16),
                   [(0, 0), (0, Vp - V), (0, Dp - D)])
-    # q-major flatten: lane j = q*B + b
+    # q-major flatten: lane l = q*B + b
     txt2d = jnp.pad(
         txt_b.astype(jnp.bfloat16).transpose(1, 0, 2).reshape(Q * B, D),
-        [(0, QBp - Q * B), (0, Dp - D)],
+        [(0, Lpad - Q * B), (0, Dp - D)],
     )
-    txtT = txt2d.T                            # [Dp, QBp]
-    return vis, txtT, Vp, Dp, QBp
+    txtT = txt2d.T                            # [Dp, Lpad]
+    return vis, txtT, Lpad
 
 
 def _fwd_impl(vis_b, txt_b, interpret):
     A, V, D = vis_b.shape
     B, Q, _ = txt_b.shape
-    vis, txtT, Vp, Dp, QBp = _pad_inputs(vis_b, txt_b)
-    kernel = functools.partial(_fwd_kernel, Q, B, V, Vp)
+    plan = _plan(V, D, B, Q)
+    if plan is None:
+        raise ValueError(
+            f"match_maxes_pallas: no legal q-block at shape "
+            f"A={A} V={V} D={D} B={B} Q={Q}; gate with match_maxes_fits"
+        )
+    blkQ, nQB, Vp, Dp = plan
+    vis, txtT, Lpad = _pad_inputs(vis_b, txt_b, plan)
+    blkL = blkQ * B
+    kernel = functools.partial(_fwd_kernel, blkQ, B, V, Q, Vp)
     m, im, mv, iv = pl.pallas_call(
         kernel,
-        grid=(A,),
+        grid=(A, nQB),
         in_specs=[
-            pl.BlockSpec((Dp, QBp), lambda a: (0, 0),
+            pl.BlockSpec((Dp, blkL), lambda a, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, Dp), lambda a: (a, 0, 0),
+            pl.BlockSpec((1, Vp, Dp), lambda a, j: (a, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            # (1, 1, QBp): TPU blocks need their last-two dims to be
+            # (1, 1, blkL): TPU blocks need their last-two dims to be
             # 8/128-divisible or equal to the array dims
-            pl.BlockSpec((1, 1, QBp), lambda a: (a, 0, 0),
+            pl.BlockSpec((1, 1, blkL), lambda a, j: (a, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, QBp), lambda a: (a, 0, 0),
+            pl.BlockSpec((1, 1, blkL), lambda a, j: (a, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, B), lambda a: (a, 0, 0),
+            pl.BlockSpec((1, Vp, B), lambda a, j: (a, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, B), lambda a: (a, 0, 0),
+            pl.BlockSpec((1, Vp, B), lambda a, j: (a, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((A, 1, QBp), jnp.float32),
-            jax.ShapeDtypeStruct((A, 1, QBp), jnp.int32),
+            jax.ShapeDtypeStruct((A, 1, Lpad), jnp.float32),
+            jax.ShapeDtypeStruct((A, 1, Lpad), jnp.int32),
             jax.ShapeDtypeStruct((A, Vp, B), jnp.float32),
             jax.ShapeDtypeStruct((A, Vp, B), jnp.int32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * A * Vp * QBp * Dp,
-            bytes_accessed=(A * Vp * Dp + Dp * QBp) * 2
-            + A * (2 * QBp + 2 * Vp * B) * 4,
+            flops=2 * A * Vp * Lpad * Dp,
+            bytes_accessed=A * (Vp * Dp + Dp * Lpad) * 2
+            + A * (2 * Lpad + 2 * Vp * B) * 4,
             transcendentals=0,
         ),
     )(txtT, vis)
-    # m: [A, 1, QBp] q-major -> logit [B, A, Q]
+    # m: [A, 1, Lpad] q-major -> logit [B, A, Q]
     logit = m[:, 0, :Q * B].reshape(A, Q, B).transpose(2, 0, 1)
     logit_v = mv[:, :V, :].transpose(2, 0, 1)  # [B, A, V]
     return logit, logit_v, (im, iv)
@@ -219,47 +289,50 @@ def _match_bwd(interpret, res, g):
     dlogit, dlogit_v = g                     # [B, A, Q], [B, A, V]
     A, V, D = vis_b.shape
     B, Q, _ = txt_b.shape
-    vis, txtT, Vp, Dp, QBp = _pad_inputs(vis_b, txt_b)
-    # dm: [A, QBp] q-major; dmv: [A, Vp, B]
+    plan = _plan(V, D, B, Q)
+    blkQ, nQB, Vp, Dp = plan
+    vis, txtT, Lpad = _pad_inputs(vis_b, txt_b, plan)
+    blkL = blkQ * B
+    # dm: [A, 1, Lpad] q-major (0 at padded-q lanes); dmv: [A, Vp, B]
     dm = jnp.pad(
         dlogit.astype(jnp.float32).transpose(1, 2, 0).reshape(A, 1, Q * B),
-        [(0, 0), (0, 0), (0, QBp - Q * B)],
+        [(0, 0), (0, 0), (0, Lpad - Q * B)],
     )
     dmv = jnp.pad(dlogit_v.astype(jnp.float32).transpose(1, 2, 0),
                   [(0, 0), (0, Vp - V), (0, 0)])
-    kernel = functools.partial(_bwd_kernel, Q, B, Vp, QBp)
+    kernel = functools.partial(_bwd_kernel, blkQ, B, Vp, Q)
     dvis, dtxt2d = pl.pallas_call(
         kernel,
-        grid=(A,),
+        grid=(A, nQB),
         in_specs=[
-            pl.BlockSpec((Dp, QBp), lambda a: (0, 0),
+            pl.BlockSpec((Dp, blkL), lambda a, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, Dp), lambda a: (a, 0, 0),
+            pl.BlockSpec((1, Vp, Dp), lambda a, j: (a, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, QBp), lambda a: (a, 0, 0),
+            pl.BlockSpec((1, 1, blkL), lambda a, j: (a, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, B), lambda a: (a, 0, 0),
+            pl.BlockSpec((1, Vp, B), lambda a, j: (a, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, QBp), lambda a: (a, 0, 0),
+            pl.BlockSpec((1, 1, blkL), lambda a, j: (a, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, B), lambda a: (a, 0, 0),
+            pl.BlockSpec((1, Vp, B), lambda a, j: (a, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, Vp, Dp), lambda a: (a, 0, 0),
+            pl.BlockSpec((1, Vp, Dp), lambda a, j: (a, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((QBp, Dp), lambda a: (0, 0),
+            pl.BlockSpec((Lpad, Dp), lambda a, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((A, Vp, Dp), jnp.float32),
-            jax.ShapeDtypeStruct((QBp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((Lpad, Dp), jnp.float32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * A * Vp * QBp * Dp,
-            bytes_accessed=(A * Vp * Dp + Dp * QBp) * 2
-            + (A * Vp * Dp + QBp * Dp) * 4,
+            flops=4 * A * Vp * Lpad * Dp,
+            bytes_accessed=A * (Vp * Dp + Dp * Lpad) * 2
+            + (A * Vp * Dp + Lpad * Dp) * 4,
             transcendentals=0,
         ),
     )(txtT, vis, im, iv, dm, dmv)
