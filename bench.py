@@ -90,11 +90,11 @@ def _setup_compile_cache() -> None:
     import jax
 
     cache = os.environ.get("BENCH_COMPILE_CACHE", "1")
-    if cache == "0" or jax.config.jax_compilation_cache_dir:
+    if (cache.lower() in ("0", "false", "no", "off")
+            or jax.config.jax_compilation_cache_dir):
         return
-    path = cache if cache not in ("", "1") else os.path.expanduser(
-        "~/.cache/vlgae_tpu/xla"
-    )
+    path = cache if cache.lower() not in ("", "1", "true", "yes", "on") \
+        else os.path.expanduser("~/.cache/vlgae_tpu/xla")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     print(f"[bench] compile cache: {path}", file=sys.stderr, flush=True)
@@ -434,7 +434,7 @@ def bench_train_step(B=64, L=10, P=36, iters=64):
         return lambda: many(params, opt_state, jax.random.key(1))
 
     dt = diff_time(make_many, iters, repeats=5)
-    return B / dt
+    return B / dt, dt
 
 
 def bench_mbr_decode(B=None, N=None, iters=32):
@@ -484,36 +484,55 @@ def main():
     cpu_sps = bench_cpu_reference()
     _note("inside_outside_len30")
     tpu_sps, tpu_dt = bench_tpu()
-    _note("joint_train_step")
-    try:
-        train_sps = (bench_train_step(B=8, L=6, P=8, iters=2)
-                     if SMOKE else bench_train_step())
-    except Exception as e:
-        print(f"[bench] train leg failed: {e!r}", file=sys.stderr,
-              flush=True)
-        train_sps = 0.0
-    _note("stretch_len64")
-    try:
-        stretch_sps = (bench_stretch(length=12, batch=16, iters=2)
-                       if SMOKE else bench_stretch())
-    except Exception as e:
-        print(f"[bench] stretch leg failed: {e!r}", file=sys.stderr,
-              flush=True)
-        stretch_sps = 0.0
-    _note("mbr_decode")
-    try:
-        decode_sps = bench_mbr_decode()
-    except Exception as e:
-        print(f"[bench] decode leg failed: {e!r}", file=sys.stderr,
-              flush=True)
-        decode_sps = 0.0
-    _note("roofline")
-    try:
-        roofline = logaddexp_roofline()
-    except Exception as e:
-        print(f"[bench] roofline leg failed: {e!r}", file=sys.stderr,
-              flush=True)
-        roofline = 0.0
+
+    # optional legs fail LOUD: a crashed leg reports status='failed'
+    # (never a silent 0.0 the driver would read as a catastrophic
+    # regression); the headline legs above still abort the whole bench.
+    legs_status = {}
+
+    def run_leg(name, fn):
+        _note(name)
+        try:
+            val = fn()
+            legs_status[name] = "ok"
+            return val
+        except Exception as e:  # noqa: BLE001 - leg isolation by design
+            print(f"[bench] {name} leg FAILED: {e!r}", file=sys.stderr,
+                  flush=True)
+            legs_status[name] = f"failed: {type(e).__name__}"
+            return None
+
+    def _r(x, k=1):
+        return None if x is None else round(x, k)
+
+    train = run_leg(
+        "joint_train_step",
+        lambda: (bench_train_step(B=8, L=6, P=8, iters=2)
+                 if SMOKE else bench_train_step()),
+    )
+    # production-scale joint legs (round-3 verdict #2): the exp=vlgae
+    # recipe trains at max_len 50 / batch<=64 / 36 proposals
+    # (ref: config/exp/vlgae.yaml:9-16) — the len10/B=64 point alone
+    # left the "per-step tail amortizes" claim unmeasured
+    train_vlgae = run_leg(
+        "joint_train_step_vlgae_scale",
+        lambda: (bench_train_step(B=8, L=12, P=8, iters=2)
+                 if SMOKE else bench_train_step(B=64, L=50, P=36,
+                                                iters=8)),
+    )
+    train_b256 = run_leg(
+        "joint_train_step_b256",
+        lambda: (bench_train_step(B=16, L=6, P=8, iters=2)
+                 if SMOKE else bench_train_step(B=256, L=10, P=36,
+                                                iters=32)),
+    )
+    stretch_sps = run_leg(
+        "stretch_len64",
+        lambda: (bench_stretch(length=12, batch=16, iters=2)
+                 if SMOKE else bench_stretch()),
+    )
+    decode_sps = run_leg("mbr_decode", bench_mbr_decode)
+    roofline = run_leg("roofline", logaddexp_roofline)
     _note("report")
     # modeled FLOPs of one inside-outside at len30/b256 (the kernels'
     # CostEstimate: 12*n1^3*B forward + 24*n1^3*B backward, counting a
@@ -527,16 +546,27 @@ def main():
         "unit": "sentences/sec",
         "vs_baseline": round(tpu_sps / cpu_sps, 2),
         "cpu_reference_sentences_per_sec": round(cpu_sps, 1),
-        "stretch_len64_b1024_sentences_per_sec": round(stretch_sps, 1),
-        "joint_train_step_len10_b64_sentences_per_sec": round(train_sps, 1),
-        "mbr_decode_len30_b256_sentences_per_sec": round(decode_sps, 1),
+        "stretch_len64_b1024_sentences_per_sec": _r(stretch_sps),
+        "joint_train_step_len10_b64_sentences_per_sec": _r(
+            train and train[0]),
+        "joint_train_step_len10_b64_ms": _r(train and train[1] * 1e3, 3),
+        "joint_train_step_len50_b64_p36_sentences_per_sec": _r(
+            train_vlgae and train_vlgae[0]),
+        "joint_train_step_len50_b64_p36_ms": _r(
+            train_vlgae and train_vlgae[1] * 1e3, 3),
+        "joint_train_step_len10_b256_sentences_per_sec": _r(
+            train_b256 and train_b256[0]),
+        "joint_train_step_len10_b256_ms": _r(
+            train_b256 and train_b256[1] * 1e3, 3),
+        "mbr_decode_len30_b256_sentences_per_sec": _r(decode_sps),
         # perf observability: the DP is VPU/transcendental-bound, so the
         # honest roofline is measured logaddexp throughput, not MXU MFU
         "achieved_gflops": round(achieved / 1e9, 1),
-        "logaddexp_roofline_gflops": round(roofline / 1e9, 1),
+        "logaddexp_roofline_gflops": _r(roofline and roofline / 1e9),
         "pct_of_logaddexp_roofline": round(
             100 * achieved / roofline, 1
-        ) if roofline else 0.0,
+        ) if roofline else None,
+        "legs": legs_status,
     }
     print(json.dumps(result))
 
