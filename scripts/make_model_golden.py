@@ -268,6 +268,28 @@ m_nev.eval()
 run_ldndmv("ldndmv_nev", m_nev)
 
 
+# ragged lengths, strict padded-context parity: the reference context
+# mean is UNMASKED over padding (ref: ldndmv.py:224), so on a ragged
+# batch its potentials depend on the pad rows of x_enc — only the
+# strict_pad_context=True flax build reproduces these tables
+ragged_lengths = np.array([L, L - 1, 3, 2], np.int64)
+data["ldndmv_ragged/in/lengths"] = ragged_lengths
+m_rag = build_ldndmv(extended_valence=True)
+m_rag.load_state_dict(m_ext.state_dict())
+m_rag.eval()
+vp_rag = VarPool(seq_len=_t(ragged_lengths))
+vp_rag._pool["batch_size"] = B
+vp_rag._pool["max_len"] = L
+with torch.no_grad():
+    out_rag = m_rag._forward(
+        {"token": _t(tokens), "tag": _t(tags)},
+        {"x": _t(x_enc), "emb": _t(emb_in)},
+        vp_rag,
+    )
+for key in ("attach", "dec", "root", "merged_dec", "merged_attach"):
+    data[f"ldndmv_ragged/out/{key}"] = out_rag[key].detach().numpy()
+
+
 # variational extract_sent_repr, eval mode (ref: ldndmv.py:218-250)
 def run_variational(tag: str, mode: str, z_dim: int = 3):
     m = object.__new__(ldndmv_mod.DiscriminativeNDMV)

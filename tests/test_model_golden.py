@@ -119,7 +119,8 @@ def _ldndmv_params(d):
     }
 
 
-def _build_ldndmv(d, extended_valence: bool, encoder=None):
+def _build_ldndmv(d, extended_valence: bool, encoder=None,
+                  strict_pad_context: bool = False, seq_len=None):
     emb = CompositeEmbedding(items=(
         EmbeddingItemCfg("word_embedding", "word", "static",
                          n_vocab=9, embedding_dim=8),
@@ -130,7 +131,7 @@ def _build_ldndmv(d, extended_valence: bool, encoder=None):
         context_mode="mean", hidden_size=16, attach_rank=3, dec_rank=3,
         root_rank=3, root_emb_dim=6, dec_emb_dim=5, n_token=10, n_tag=6,
         ff_dropout=0.0, extended_valence=extended_valence,
-        function_mask=True,
+        function_mask=True, strict_pad_context=strict_pad_context,
     )
     model = DiscriminativeNDMV(
         cfg=cfg, embedding=emb, encoder=encoder,
@@ -140,11 +141,13 @@ def _build_ldndmv(d, extended_valence: bool, encoder=None):
             int(i) for i in d["ldndmv/in/function_mask"]
         ),
     )
+    if seq_len is None:
+        seq_len = d["in/seq_len"]
     inputs = {
         "token": jnp.asarray(d["in/tokens"]),
         "tag": jnp.asarray(d["in/tags"]),
         "word": jnp.asarray(d["in/token2word"][d["in/tokens"]]),
-        "seq_len": jnp.asarray(d["in/seq_len"].astype(np.int32)),
+        "seq_len": jnp.asarray(np.asarray(seq_len).astype(np.int32)),
     }
     encoded = {"x": jnp.asarray(d["in/x_enc"])}
     return model, {"params": _ldndmv_params(d)}, inputs, encoded
@@ -181,6 +184,44 @@ def test_ldndmv_forward_matches_reference(ref, tag, extended):
                  msg="merged_dec")
     masked_close(out["merged_attach"], ref[f"{tag}/out/merged_attach"],
                  msg="merged_attach")
+
+
+def test_ldndmv_ragged_strict_context_matches_reference(ref):
+    """Ragged-batch parity in strict mode (ref: ldndmv.py:224): the
+    reference sentence-context mean is UNMASKED over padding, so on a
+    ragged batch every potential table depends on the pad rows of
+    x_enc. strict_pad_context=True must reproduce those tables; the
+    default masked mode must NOT (guarding that the flag is live)."""
+    lengths = ref["ldndmv_ragged/in/lengths"]
+    model, params, inputs, encoded = _build_ldndmv(
+        ref, True, strict_pad_context=True, seq_len=lengths
+    )
+    out = model.apply(params, inputs, encoded=encoded, deterministic=True)
+    for key in ("attach", "dec", "root", "merged_dec", "merged_attach"):
+        masked_close(out[key], ref[f"ldndmv_ragged/out/{key}"], msg=key)
+
+    # the flag is live: on this ragged batch the default masked context
+    # diverges from the strict (reference, unmasked) context by O(1) —
+    # asserted on the context itself because the tiny golden scorers
+    # nearly wash the context out of the downstream tables
+    x = ref["in/x_enc"]
+    mask = np.arange(x.shape[1])[None, :] < lengths[:, None]
+    ctx = {}
+    for strict in (True, False):
+        m, p, _, _ = _build_ldndmv(
+            ref, True, strict_pad_context=strict, seq_len=lengths
+        )
+        c, _ = m.apply(
+            p, {"x": jnp.asarray(x)}, jnp.asarray(mask),
+            method=lambda mod, e, k: mod.extract_sent_repr(
+                e, k, deterministic=True
+            ),
+        )
+        ctx[strict] = np.asarray(c)
+    np.testing.assert_allclose(
+        ctx[True][:, 0], x.mean(1), rtol=1e-5, atol=1e-6
+    )
+    assert np.abs(ctx[True] - ctx[False]).max() > 0.1
 
 
 @pytest.mark.parametrize("tag,mode", [

@@ -34,6 +34,12 @@ class LDNDMVConfig:
     """(ref: ldndmv.py:34-69)"""
 
     context_mode: str = "mean"  # hx | mean | max | token | passthrough | none
+    # strict reference parity for 'mean'/'max' contexts: the reference
+    # reduces over the PADDED length (batch-composition-dependent,
+    # ref: ldndmv.py:224-227); default masks padding out (identical on
+    # equal-length batches). Enable to reproduce the reference
+    # bit-for-bit on ragged batches.
+    strict_pad_context: bool = False
     init_method: str = "y"  # 'y' | path to pretrained DMV | 'none'
     init_epoch: int = 0
     viterbi_training: bool = True
@@ -115,15 +121,24 @@ class DiscriminativeNDMV(fnn.Module):
         if cfg.context_mode == "hx":
             context = encoded["hiddens"].transpose(1, 0, 2).reshape(B, 1, -1)
         elif cfg.context_mode == "mean":
-            denom = jnp.maximum(mask.sum(-1, keepdims=True), 1)
-            context = (
-                jnp.where(mask[..., None], x, 0.0).sum(1, keepdims=True)
-                / denom[..., None]
-            )
+            if cfg.strict_pad_context:
+                # reference semantics: unmasked mean over the padded
+                # length (ref: ldndmv.py:224)
+                context = x.mean(1, keepdims=True)
+            else:
+                denom = jnp.maximum(mask.sum(-1, keepdims=True), 1)
+                context = (
+                    jnp.where(mask[..., None], x, 0.0).sum(1, keepdims=True)
+                    / denom[..., None]
+                )
         elif cfg.context_mode == "max":
-            context = jnp.where(mask[..., None], x, -jnp.inf).max(
-                1, keepdims=True
-            )
+            if cfg.strict_pad_context:
+                # reference semantics: unmasked max (ref: ldndmv.py:226)
+                context = x.max(1, keepdims=True)
+            else:
+                context = jnp.where(mask[..., None], x, -jnp.inf).max(
+                    1, keepdims=True
+                )
             # zero-length padding rows (pad_batch_to_devices) have an
             # all-false mask: their max is -inf, which would turn into
             # NaN inside the downstream Dense and poison the batch

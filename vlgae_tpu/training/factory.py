@@ -173,6 +173,7 @@ def _ldndmv_cfg(mcfg: Dict[str, Any], dm) -> LDNDMVConfig:
     counts = dm.get_vocab_count()
     return LDNDMVConfig(
         context_mode=mcfg.get("context_mode", "mean"),
+        strict_pad_context=bool(mcfg.get("strict_pad_context", False)),
         init_method=str(mcfg.get("init_method", "y")),
         init_epoch=int(mcfg.get("init_epoch", 0)),
         viterbi_training=bool(mcfg.get("viterbi_training", True)),
