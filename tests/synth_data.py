@@ -47,7 +47,8 @@ def random_projective_tree(rng, n):
 
 
 def make_corpus(root, n_imgs=8, feat_dim=64, n_box=12, seed=0,
-                grammar="random", grounded=False, len_range=(3, 7)):
+                grammar="random", grounded=False, len_range=(3, 7),
+                image_size=0):
     """grammar: 'random' (random projective trees) or 'right'
     (right-branching: head = previous word) -- the latter gives a
     learnable deterministic structure for training-dynamics tests.
@@ -88,6 +89,14 @@ def make_corpus(root, n_imgs=8, feat_dim=64, n_box=12, seed=0,
         np.save(root / "det_feats" / f"{img_id}.npy",
                 np.concatenate([feats, boxes], 1).astype(np.float32))
         roi_boxes[str(img_id)] = boxes.tolist()
+        if image_size:  # raw pixels for the ViT-swap recipe (exp=vlgae_vit)
+            (root / "imgs").mkdir(exist_ok=True)
+            np.save(
+                root / "imgs" / f"{img_id}.npy",
+                rng.standard_normal(
+                    (image_size, image_size, 3)
+                ).astype(np.float32),
+            )
 
         # scene graph: objects aligned to proposal boxes (IoU=1 on purpose)
         n_obj = 3

@@ -85,6 +85,71 @@ def test_train_eval_roundtrip(corpus, tmp_path, monkeypatch):
         assert len(f.read().strip()) > 0
 
 
+def test_vlgae_vit_swap_e2e(tmp_path_factory, tmp_path, monkeypatch):
+    """BASELINE config #5 (CLIP/ViT swap): exp=vlgae_vit trains from raw
+    pixels through a frozen ViT patch grid, decodes, and writes
+    predictions — the CLI run differs from exp=vlgae only in the config."""
+    corpus = tmp_path_factory.mktemp("vlparse_vit")
+    synth_data.make_corpus(corpus, n_imgs=4, feat_dim=32, n_box=8,
+                           image_size=32)
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, REPO)
+    import train as train_cli
+
+    overrides = [
+        "exp=vlgae_vit",
+        f"root={corpus.parent}",
+        f"datamodule.train_path={corpus}/train",
+        f"datamodule.train_init_path={corpus}/init",
+        f"datamodule.dev_path={corpus}/val",
+        f"datamodule.test_path={corpus}/test",
+        f"datamodule.sg_path={corpus}/vlparse.json",
+        "datamodule.vit_image_size=32",
+        "datamodule.vit_patch_size=16",
+        "datamodule.train_dataloader.batch_size=8",
+        "datamodule.train_dataloader.num_bucket=1",
+        "datamodule.dev_dataloader.num_bucket=1",
+        "datamodule.dev_dataloader.batch_size=8",
+        "datamodule.test_dataloader.num_bucket=1",
+        "datamodule.test_dataloader.batch_size=8",
+        "trainer.max_epochs=2",
+        "model.init_epoch=1",
+        "embedding.use_subword=false",
+        "embedding.use_word=true",
+        "_hidden_size=32",
+        "_match_hidden_size=16",
+        "_rank=4",
+        "model.dep_model_cfg.mid_ff.n_bottleneck=8",
+        "vis_encoder.vit_hidden_size=16",
+        "vis_encoder.vit_num_layers=1",
+        "vis_encoder.vit_num_heads=2",
+        "vis_encoder.vit_intermediate_size=32",
+    ]
+    pipe, test_result = train_cli.main(overrides)
+    assert "uas" in test_result and "box/acc" in test_result
+    run_dir = pipe.workdir
+    dev_pred = os.path.join(run_dir, "dev.predict.txt")
+    assert os.path.exists(dev_pred)
+    with open(dev_pred) as f:
+        first_block = f.read().split("\n\n")[0].splitlines()
+    cols = first_block[0].split("\t")
+    assert len(cols) >= 5 and cols[0] == "1"
+    # alignments reference patch ids (0..3 for the 2x2 grid of a 32/16
+    # ViT): every aligned box id must stay within the patch-factor range
+    import re
+
+    for line in first_block:
+        for align in line.split("\t")[4:]:
+            for m in re.finditer(r"(\d+)", align):
+                assert 0 <= int(m.group(1)) < 4, line
+
+    # frozen backbone: the ViT params are untouched by training
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(pipe.state.params)
+    assert any("vit" in "/".join(map(str, k)) for k in flat)
+
+
 def test_classic_dmv_e2e(corpus):
     """Classic DMV EM on the synthetic corpus: UAS computable, EM runs."""
     import numpy as np

@@ -411,11 +411,21 @@ class VLParseDataModule(DepDataModule):
     TARGETS = ("arc", "sg_type", "sg_box", "sg_mask")
 
     def __init__(self, use_img=False, use_gold_scene_graph=False,
-                 sg_path=None, pad_boxes=36, sample_boxes=35, **kw):
+                 sg_path=None, pad_boxes=36, sample_boxes=35,
+                 vis_source="det_feats", vit_image_size=224,
+                 vit_patch_size=32, **kw):
         self.use_img = use_img
         self.use_gold_scene_graph = use_gold_scene_graph
         self.pad_boxes = pad_boxes
         self.sample_boxes = sample_boxes
+        # 'det_feats': Faster-RCNN region features (reference protocol,
+        # ref: vlparse.py:41-52); 'pixels': raw imgs/<id>.npy pixels for
+        # the ViT-swap stretch config (BASELINE config #5)
+        if vis_source not in ("det_feats", "pixels"):
+            raise ValueError(f"unknown vis_source {vis_source!r}")
+        self.vis_source = vis_source
+        self.vit_image_size = vit_image_size
+        self.vit_patch_size = vit_patch_size
         self.sg_data = {}
         if sg_path and os.path.exists(sg_path):
             with open(sg_path) as f:
@@ -453,14 +463,24 @@ class VLParseDataModule(DepDataModule):
             if img_feat is not None and i < len(img_feat):
                 inst["vis_img"] = img_feat[i]
             self._process_sg(inst)
-        feat_dir = Path(folder) / (
-            "gold_feats" if self.use_gold_scene_graph else "det_feats"
-        )
-        self._feat_loaders[name] = DetFeatureLoader(
-            feat_dir, self.sg_data,
-            sample=self.sample_boxes if name in ("train", "train_init") else 0,
-            gold=self.use_gold_scene_graph, pad_boxes=self.pad_boxes,
-        )
+        if self.vis_source == "pixels":
+            from .features import PixelLoader
+
+            self._feat_loaders[name] = PixelLoader(
+                Path(folder) / "imgs",
+                image_size=self.vit_image_size,
+                patch_size=self.vit_patch_size,
+            )
+        else:
+            feat_dir = Path(folder) / (
+                "gold_feats" if self.use_gold_scene_graph else "det_feats"
+            )
+            self._feat_loaders[name] = DetFeatureLoader(
+                feat_dir, self.sg_data,
+                sample=(self.sample_boxes
+                        if name in ("train", "train_init") else 0),
+                gold=self.use_gold_scene_graph, pad_boxes=self.pad_boxes,
+            )
         if name in ("dev", "test") or self.use_gold_scene_graph:
             insts = [i for i in insts if i["has_sg"]]
         return insts

@@ -116,6 +116,57 @@ class DetFeatureLoader:
         return mask, rel
 
 
+class PixelLoader:
+    """Loads imgs/<img_id>.npy raw pixels for the CLIP/ViT-swap stretch
+    configuration (BASELINE config #5).
+
+    Instead of Faster-RCNN region features, each image is a [H, W, 3]
+    float array consumed by :class:`~vlgae_tpu.models.VisViTPatchEncoder`;
+    the "proposal boxes" are the ViT patch rectangles (identical for
+    every image), so the downstream grounding/metric/eval stack applies
+    unchanged. Emits the same batch-key contract as
+    :class:`DetFeatureLoader` with ``vis_pixels`` replacing
+    ``vis_box_feat``.
+    """
+
+    def __init__(self, root, image_size: int, patch_size: int):
+        from ..models.vis_encoder import patch_boxes
+
+        self.root = Path(root)
+        self.image_size = int(image_size)
+        self.patch_size = int(patch_size)
+        self.boxes = patch_boxes(self.image_size,
+                                 self.patch_size).astype(np.float32)
+
+    @property
+    def n_patches(self) -> int:
+        g = self.image_size // self.patch_size
+        return g * g
+
+    def __call__(self, img_ids: List[int]) -> Dict[str, np.ndarray]:
+        B, P, S = len(img_ids), self.n_patches, self.image_size
+        pixels = np.zeros((B, S, S, 3), np.float32)
+        for i, img_id in enumerate(img_ids):
+            path = self.root / f"{img_id}.npy"
+            if not path.exists():
+                raise FileNotFoundError(str(path))
+            img = np.load(str(path))
+            if img.shape[:2] != (S, S):
+                raise ValueError(
+                    f"{path}: expected {S}x{S} pixels, got {img.shape}"
+                )
+            pixels[i] = img
+        masks = np.ones((B, P), bool)
+        return {
+            "vis_pixels": pixels,
+            "vis_box_mask": masks,
+            "vis_rel_mask": np.zeros((B, P, P), bool),
+            "vis_available": masks[:, 0].copy(),
+            "vis_box": np.tile(self.boxes[None], (B, 1, 1)),
+            "vis_box_index": np.tile(np.arange(P)[None], (B, 1)),
+        }
+
+
 def save_npy_features(root, img_id, feats_with_boxes):
     """Test/fixture helper: write one det_feats/<id>.npy file."""
     os.makedirs(root, exist_ok=True)

@@ -59,6 +59,11 @@ def _rup(x, m):
 # has 128MB; leave room for double-buffering and the compiler's stack).
 # v5e-derived; re-derive on other parts with scripts/derive_kernel_gates.py
 _VMEM_BUDGET = 56 * 1024 * 1024
+# the scoped-vmem ceiling handed to the Mosaic compiler: XLA's default
+# is 16MB, under which the recipe-scale launch (whose whole outputs XLA
+# stack-allocates in VMEM, ~16.04MB at Q=101/V=703/B=64) fails to
+# compile even though the per-step blocks fit — measured on v5e
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 # per-q-block lane loops are Python-unrolled: cap the unroll size
 _MAX_UNROLL_Q = 64
 
@@ -258,6 +263,7 @@ def _fwd_impl(vis_b, txt_b, interpret):
             jax.ShapeDtypeStruct((A, Vp, B), jnp.int32),
         ),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=2 * A * Vp * Lpad * Dp,
             bytes_accessed=A * (Vp * Dp + Dp * Lpad) * 2
@@ -329,6 +335,7 @@ def _match_bwd(interpret, res, g):
             jax.ShapeDtypeStruct((Lpad, Dp), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=4 * A * Vp * Lpad * Dp,
             bytes_accessed=A * (Vp * Dp + Dp * Lpad) * 2

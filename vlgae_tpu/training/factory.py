@@ -158,6 +158,34 @@ def build_vis_encoder(cfg: Optional[Dict[str, Any]], dtype=None):
     if not cfg:
         return None
     kw = {k: v for k, v in cfg.items() if not k.startswith("_")}
+    target = str(cfg.get("_target_", ""))
+    if target.endswith("VisViTPatchEncoder"):
+        # CLIP/ViT-swap stretch configuration (BASELINE config #5):
+        # patch-grid factors from a (frozen by default) ViT backbone
+        from transformers import ViTConfig
+
+        from ..models import VisViTPatchEncoder
+
+        vit_cfg = ViTConfig(
+            hidden_size=int(kw.get("vit_hidden_size", 192)),
+            num_hidden_layers=int(kw.get("vit_num_layers", 4)),
+            num_attention_heads=int(kw.get("vit_num_heads", 4)),
+            intermediate_size=int(kw.get("vit_intermediate_size", 384)),
+            image_size=int(kw.get("vit_image_size", 224)),
+            patch_size=int(kw.get("vit_patch_size", 32)),
+            num_channels=3,
+        )
+        return VisViTPatchEncoder(
+            n_hidden=int(kw.get("n_hidden", 256)),
+            vit_config=vit_cfg,
+            requires_grad=bool(kw.get("requires_grad", False)),
+            dropout=float(kw.get("dropout", 0.0)),
+            activate=bool(kw.get("activate", True)),
+            use_attr=bool(kw.get("use_attr", True)),
+            use_img=bool(kw.get("use_img", False)),
+            img_feat=bool(kw.get("img_feat", True)),
+            dtype=dtype,
+        )
     return VisBoxRelSimpleEncoder(
         n_hidden=int(kw.get("n_hidden", 256)),
         dropout=float(kw.get("dropout", 0.0)),
