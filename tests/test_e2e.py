@@ -237,6 +237,66 @@ def test_lang_only_exp(corpus, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(pipe.workdir, "dev.predict.txt"))
 
 
+def test_multirun_sweep(corpus, tmp_path, monkeypatch):
+    """Hydra ``-m`` subset (ref: train.py:43-48): a 2-point lr sweep
+    produces numbered run dirs under one sweep dir, a shared group id
+    in each run's metadata, and one JSONL result line per job."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("MULTIRUN_ID", raising=False)
+    sys.path.insert(0, REPO)
+    import train as train_cli
+
+    overrides = [
+        "-m",
+        "exp=lang_only",
+        f"root={corpus.parent}",
+        f"datamodule.train_path={corpus}/train",
+        f"datamodule.train_init_path={corpus}/init",
+        f"datamodule.dev_path={corpus}/val",
+        f"datamodule.test_path={corpus}/test",
+        f"datamodule.sg_path={corpus}/vlparse.json",
+        "datamodule.pad_boxes=8",
+        "datamodule.train_dataloader.batch_size=8",
+        "datamodule.train_dataloader.num_bucket=1",
+        "datamodule.dev_dataloader.num_bucket=1",
+        "datamodule.dev_dataloader.batch_size=8",
+        "datamodule.test_dataloader.num_bucket=1",
+        "datamodule.test_dataloader.batch_size=8",
+        "trainer.max_epochs=1",
+        "model.init_epoch=1",
+        "_hidden_size=32",
+        "_rank=4",
+        "encoder.hidden_size=16",
+        "encoder.num_layers=1",
+        "model.root_emb_dim=8",
+        "model.dec_emb_dim=8",
+        "optimizer.args.lr=0.001,0.002",   # <- the sweep axis
+    ]
+    results = train_cli.main(overrides)
+    assert len(results) == 2
+    assert results[0]["group"] == results[1]["group"]
+    assert results[0]["overrides"] == ["optimizer.args.lr=0.001"]
+    assert results[1]["overrides"] == ["optimizer.args.lr=0.002"]
+
+    sweep_dirs = list((tmp_path / "outputs" / "multirun").iterdir())
+    assert len(sweep_dirs) == 1
+    sweep = sweep_dirs[0]
+    lines = [json.loads(l) for l in
+             (sweep / "results.jsonl").read_text().splitlines()]
+    assert len(lines) == 2 and all("test" in l for l in lines)
+    for job in ("0", "1"):
+        meta = json.loads((sweep / job / "multirun.json").read_text())
+        assert meta["group"] == results[0]["group"]
+        # each job is a full run: config + predictions written
+        assert (sweep / job / "config.json").exists()
+        assert (sweep / job / "test.predict.txt").exists()
+    # the two jobs really composed different lr's
+    cfg0 = json.loads((sweep / "0" / "config.json").read_text())
+    cfg1 = json.loads((sweep / "1" / "config.json").read_text())
+    assert cfg0["optimizer"]["args"]["lr"] == 0.001
+    assert cfg1["optimizer"]["args"]["lr"] == 0.002
+
+
 def test_search_bridge(corpus, tmp_path, monkeypatch):
     """Hyperparameter-search bridge: params in via VLGAE_SEARCH_PARAMS,
     watched metric out via VLGAE_SEARCH_RESULT (NNICallback counterpart)."""

@@ -19,8 +19,69 @@ import time
 import numpy as np
 
 
+def _sweep_axes(overrides):
+    """Split overrides into fixed ones and hydra-style choice sweeps.
+
+    Hydra's ``-m key=a,b`` sweeps over the comma list
+    (ref: /root/reference/train.py:43-48 runs under hydra multirun);
+    bracketed/braced/quoted values keep their commas (e.g. coefficient
+    schedules ``"[0@0, 0.5@100]"``).
+    """
+    fixed, axes = [], []
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        if ("," in val and val[:1] not in "[{'\""
+                and not val.endswith("]")):
+            axes.append((key, val.split(",")))
+        else:
+            fixed.append(ov)
+    return fixed, axes
+
+
+def multirun(overrides):
+    """Hydra ``-m`` subset: cartesian choice sweep, numbered run dirs
+    under a shared sweep dir, a shared 4-char group id in each run's
+    metadata (the reference tags wandb with MULTIRUN_ID,
+    ref: train.py:43-48), and one JSONL result line per job."""
+    import itertools
+    import random
+    import string
+
+    fixed, axes = _sweep_axes(overrides)
+    group = os.environ.get("MULTIRUN_ID") or "".join(
+        random.choice(string.ascii_letters + string.digits) for _ in range(4)
+    )
+    os.environ["MULTIRUN_ID"] = group
+    sweep_dir = os.path.join(
+        "outputs", "multirun", time.strftime("%Y-%m-%d_%H-%M-%S")
+    )
+    os.makedirs(sweep_dir, exist_ok=True)
+    combos = list(itertools.product(*(v for _, v in axes))) or [()]
+    results = []
+    with open(os.path.join(sweep_dir, "results.jsonl"), "w") as rf:
+        for job, combo in enumerate(combos):
+            job_ovs = fixed + [f"{k}={v}"
+                               for (k, _), v in zip(axes, combo)]
+            workdir = os.path.join(sweep_dir, str(job))
+            pipe, test = main(job_ovs + [f"workdir={workdir}"])
+            with open(os.path.join(workdir, "multirun.json"), "w") as f:
+                json.dump({"group": group, "job": job,
+                           "overrides": job_ovs}, f)
+            line = {"group": group, "job": job,
+                    "overrides": [f"{k}={v}"
+                                  for (k, _), v in zip(axes, combo)],
+                    "best": pipe.best, "test": test}
+            rf.write(json.dumps(line, default=float) + "\n")
+            rf.flush()
+            results.append(line)
+    return results
+
+
 def main(argv=None):
     overrides = list(argv if argv is not None else sys.argv[1:])
+    if "-m" in overrides or "--multirun" in overrides:
+        overrides = [o for o in overrides if o not in ("-m", "--multirun")]
+        return multirun(overrides)
     from vlgae_tpu.utils.config import ConfigComposer, resolve
 
     # hyperparameter-search bridge (the reference's NNICallback
