@@ -211,7 +211,7 @@ class DependencyBoxRelConfig:
             "gather_logit_mode": ("simple", "reduced"),
             "loss_grounding_mode": ("factor|ce", "cap_img|ce"),
             "decode_grounding_mode": ("on_img", "on_factor"),
-            "match_kernel": ("auto", "pallas", "xla"),
+            "match_kernel": ("auto", "pallas", "pallas_sharded", "xla"),
         }
         for field_name, allowed in _check.items():
             v = getattr(self, field_name)
@@ -233,9 +233,10 @@ class DependencyBoxRelConfig:
                 "(ref: joint.py:493-499); 'simple' produces a 4-D "
                 "attention map the caption CE cannot use"
             )
-        if self.match_kernel == "pallas" and self.train_match_chunk > 0:
+        if (self.match_kernel in ("pallas", "pallas_sharded")
+                and self.train_match_chunk > 0):
             raise ValueError(
-                "match_kernel='pallas' and train_match_chunk>0 are "
+                f"match_kernel={self.match_kernel!r} and train_match_chunk>0 are "
                 "mutually exclusive (the fused kernel replaces the "
                 "chunked stream); set train_match_chunk=0 or use "
                 "match_kernel='xla'"
@@ -518,9 +519,25 @@ class DependencyBoxRel(fnn.Module):
         CH = self.cfg.train_match_chunk
         mk = self.cfg.match_kernel
         from ..ops import data_parallel_degree, pallas_available
-        from ..ops.match_pallas import match_maxes_fits, match_maxes_pallas
+        from ..ops.match_pallas import (
+            match_maxes_fits,
+            match_maxes_pallas,
+            match_maxes_pallas_sharded,
+            match_maxes_sharded_fits,
+        )
 
         on_tpu = pallas_available()
+        # explicit sharded prototype: local text shard x all-gathered
+        # vis factors (one gather per step instead of GSPMD replicating
+        # the opaque kernel); reduces to the plain kernel on one chip
+        if mk == "pallas_sharded" and CH <= 0 and match_maxes_sharded_fits(
+            vis_b.shape[0], vis_b.shape[1], D2,
+            txt_b.shape[0], txt_b.shape[1],
+        ):
+            logit, logit_v = match_maxes_pallas_sharded(
+                vis_b, txt_b, not on_tpu
+            )
+            return logit, self._expand_rel_tri(logit_v, maps)
         # auto: the kernel wins single-chip, but it is opaque to GSPMD —
         # on a >1-way data mesh it would be input-all-gathered and run
         # the FULL B^2 product replicated on every chip, while the

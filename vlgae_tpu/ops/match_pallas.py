@@ -352,3 +352,68 @@ def _match_bwd(interpret, res, g):
 
 
 match_maxes_pallas.defvjp(_match_fwd, _match_bwd)
+
+
+def match_maxes_sharded_fits(A, V, D, B, Q) -> bool:
+    """Whether the shard_map'd kernel is applicable: both batches must
+    split evenly over the registered data mesh and the per-shard launch
+    (full A x local B) must plan a legal q-block."""
+    from . import dmv_pallas as _dp
+
+    dpd = _dp.data_parallel_degree()
+    if dpd <= 1:
+        return match_maxes_fits(A, V, D, B, Q)
+    return (A % dpd == 0 and B % dpd == 0
+            and _plan(V, D, B // dpd, Q) is not None)
+
+
+def match_maxes_pallas_sharded(vis_b, txt_b, interpret=False):
+    """Data-sharded fused matching (``match_kernel='pallas_sharded'``).
+
+    The contrastive grounding loss is cross-batch global — every text
+    row scores against every image (ref: src/model/joint.py:439-499) —
+    so a plain pallas_call is opaque to GSPMD and would be replicated
+    on every chip of a data mesh. Here each shard keeps its LOCAL text
+    block and all-gathers only the visual factor tensor ([A, V, D],
+    the far smaller side at recipe scale: V*D floats per image vs
+    B*Q*D text lanes per shard), runs the fused kernel at (full A,
+    local B), and emits [B_local, A, *] blocks — the cross-batch
+    product is partitioned over the text batch with ONE gather per
+    step instead of full replication. The backward transposes the
+    gather into a reduce-scatter of ``dvis`` automatically.
+
+    Single-chip (or no registered mesh) this reduces to
+    :func:`match_maxes_pallas` exactly. Expected multi-chip crossover:
+    the all-gathered vis bytes must amortize against the B^2 product —
+    at the recipe shape (A=B=64, V=703, D=130) the gather is ~180KB/chip
+    vs a ~47ms single-chip einsum step, so ICI cost is negligible; the
+    single-chip A/B (scripts/match_kernel_ab.py) carries the kernel-vs-
+    einsum baseline, and the perf verdict on real multi-chip hardware is
+    deferred (correctness + no-replication are pinned by tests).
+    """
+    from jax.sharding import PartitionSpec
+
+    from . import dmv_pallas as _dp
+
+    mesh = _dp._DATA_MESH
+    dpd = _dp.data_parallel_degree()
+    if dpd <= 1:
+        return match_maxes_pallas(vis_b, txt_b, interpret)
+    A = vis_b.shape[0]
+    B = txt_b.shape[0]
+    if A % dpd or B % dpd:
+        raise ValueError(
+            f"match_maxes_pallas_sharded: batches A={A} B={B} do not "
+            f"split over the {dpd}-way data mesh; gate with "
+            f"match_maxes_sharded_fits"
+        )
+
+    def local(vis_l, txt_l):
+        vis_full = lax.all_gather(vis_l, "data", axis=0, tiled=True)
+        return match_maxes_pallas(vis_full, txt_l, interpret)
+
+    spec = PartitionSpec("data")
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec),
+        check_vma=False,
+    )(vis_b, txt_b)
