@@ -334,3 +334,30 @@ def test_fused_kernel_band_edge_lengths(n_max):
     _, wa = dmv_marginals(mdec, mattach, lengths, MaxSemiring)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_bf16_chart_storage_flag(big_batch):
+    """CHART_STORE_DTYPE=bf16 (VERDICT r3 #10 lever): the no-save v3
+    fill with bf16 VMEM-resident charts must stay within bf16 rounding
+    of the f32 partition — loose absolute tolerance scaling with |logZ|
+    — and the flag must actually change the result (liveness)."""
+    import vlgae_tpu.ops.dmv_pallas as dp
+
+    mdec, mattach, lengths = big_batch
+    want = np.asarray(
+        dmv_partition(mdec, mattach, lengths, LogSemiring))
+    f32 = np.asarray(
+        dmv_partition_pallas_interpret(mdec, mattach, lengths))
+    dp.CHART_STORE_DTYPE = jnp.bfloat16
+    try:
+        bf16 = np.asarray(jax.jit(dmv_partition_pallas_interpret)(
+            mdec, mattach, lengths))
+    finally:
+        dp.CHART_STORE_DTYPE = jnp.float32
+    np.testing.assert_allclose(f32, want, rtol=1e-4, atol=1e-4)
+    # bf16 has ~8 mantissa bits: rounding a chart cell of magnitude m
+    # costs up to m * 2^-9 per write; allow a small accumulation factor
+    tol = np.maximum(np.abs(want), 1.0) * 2.0 ** -9 * 8
+    assert np.all(np.abs(bf16 - want) <= tol), (
+        np.abs(bf16 - want).max(), tol.min())
+    assert np.abs(bf16 - f32).max() > 0.0, "flag had no effect"

@@ -379,6 +379,14 @@ def _ms_fin(m, s):
     return jnp.maximum(m + jnp.log(s), NEGINF)
 
 
+# Chart STORAGE dtype for the no-save v3 inside fill (the bf16
+# chart-storage lever, VERDICT r3 #10): accumulators always stay f32 in
+# registers; bf16 only rounds the VMEM-resident chart cells, halving
+# chart bytes/launch. Trace-time flag, A/B'd by scripts/ab_bf16_chart.py;
+# the save path (outside consumes the charts) is f32-only by contract.
+CHART_STORE_DTYPE = jnp.float32
+
+
 def _inside_fill_v3(n1, n1r, ip, fr, is_max, attL, attR, seedR, seedL,
                     lengths_row, Cr, Cl, Ir, Il, ClKF, CrEF, IlHF):
     """Chunked streaming inside fill (v3).
@@ -407,27 +415,32 @@ def _inside_fill_v3(n1, n1r, ip, fr, is_max, attL, attR, seedR, seedL,
     """
     nx = n1 + TCH
     cw = Cr.shape[2]  # chart column capacity (>= n1r)
+    # storage dtype: casts are no-ops at f32; at bf16 only the chart
+    # cells round -- every reduction below runs on f32 registers
+    dt = Cr.dtype
+    st = lambda x: x.astype(dt)
+    ld = lambda x: x.astype(jnp.float32)
 
     def plus(a, b):
         return jnp.maximum(a, b) if is_max else jnp.logaddexp(a, b)
 
-    neg_chart = jnp.full((nx, 2, cw, BT), NEGINF, jnp.float32)
+    neg_chart = jnp.full((nx, 2, cw, BT), NEGINF, dt)
     Cr[:, :, :, :] = neg_chart
     Cl[:, :, :, :] = neg_chart
     Ir[:, :, :, :] = neg_chart
     if Il is not None:
         Il[:, :, :, :] = neg_chart
-    neg_flip = jnp.full((fr, 2, ip, BT), NEGINF, jnp.float32)
+    neg_flip = jnp.full((fr, 2, ip, BT), NEGINF, dt)
     ClKF[:, :, :, :] = neg_flip
     # CrEF is valence-sliced: the fill (and the v4 outside) only ever
     # read its NOCHILD channel
     CrEF[:, :, :, :] = neg_flip[:, :1]
     IlHF[:, :, :, :] = neg_flip
 
-    Cr[0, :, pl.ds(0, n1r), :] = seedR[:]
-    Cl[0, :, pl.ds(0, n1r), :] = seedL[:]
-    ClKF[n1 - 1, :, pl.ds(0, n1r), :] = seedL[:]
-    CrEF[n1 - 1, 0, pl.ds(0, n1r), :] = seedR[NOCHILD]
+    Cr[0, :, pl.ds(0, n1r), :] = st(seedR[:])
+    Cl[0, :, pl.ds(0, n1r), :] = st(seedL[:])
+    ClKF[n1 - 1, :, pl.ds(0, n1r), :] = st(seedL[:])
+    CrEF[n1 - 1, 0, pl.ds(0, n1r), :] = st(seedR[NOCHILD])
 
     lengths = lengths_row[0, :]
     out0 = jnp.full((BT,), NEGINF, jnp.float32)
@@ -452,8 +465,8 @@ def _inside_fill_v3(n1, n1r, ip, fr, is_max, attL, attR, seedR, seedL,
             def inner_chunk(c, carry):
                 sL, sR = carry
                 t0 = c * TCH
-                clk = ClKF[pl.ds(n1 - w + t0, TCH), :, pl.ds(w, C), :]
-                crc = Cr[pl.ds(t0, TCH), :, pl.ds(0, C), :]
+                clk = ld(ClKF[pl.ds(n1 - w + t0, TCH), :, pl.ds(w, C), :])
+                crc = ld(Cr[pl.ds(t0, TCH), :, pl.ds(0, C), :])
                 sL = _stream_add(sL, crc[:, NOCHILD] + clk[:, HASCHILD],
                                  is_max)
                 sR = _stream_add(sR, crc[:, HASCHILD] + clk[:, NOCHILD],
@@ -473,8 +486,8 @@ def _inside_fill_v3(n1, n1r, ip, fr, is_max, attL, attR, seedR, seedL,
             il_new = jnp.where(valid, inner_l[None] + att_l, NEGINF)
             ir_new = jnp.where(valid, inner_r[None] + att_r, NEGINF)
             if Il is not None:
-                Il[w, :, pl.ds(0, C), :] = il_new
-            IlHF[n1 - 1 - w, :, pl.ds(w, C), :] = il_new
+                Il[w, :, pl.ds(0, C), :] = st(il_new)
+            IlHF[n1 - 1 - w, :, pl.ds(w, C), :] = st(il_new)
             # Ir[w] write deferred (see hazard note).
 
             # ---- complete spans: rest terms, chunk row r in [0, w-1) --
@@ -489,11 +502,11 @@ def _inside_fill_v3(n1, n1r, ip, fr, is_max, attL, attR, seedR, seedL,
             def rest_chunk(c, carry):
                 sCl, sCr = carry
                 r0 = c * TCH
-                ilh = IlHF[pl.ds(n1 - w + r0, TCH), :, pl.ds(w, C), :]
-                clr = Cl[pl.ds(1 + r0, TCH), NOCHILD, pl.ds(0, C), :]
+                ilh = ld(IlHF[pl.ds(n1 - w + r0, TCH), :, pl.ds(w, C), :])
+                clr = ld(Cl[pl.ds(1 + r0, TCH), NOCHILD, pl.ds(0, C), :])
                 sCl = _stream_add(sCl, ilh + clr[:, None], is_max)
-                cre = CrEF[pl.ds(n1 - w + r0, TCH), 0, pl.ds(w, C), :]
-                irr = Ir[pl.ds(1 + r0, TCH), :, pl.ds(0, C), :]
+                cre = ld(CrEF[pl.ds(n1 - w + r0, TCH), 0, pl.ds(w, C), :])
+                irr = ld(Ir[pl.ds(1 + r0, TCH), :, pl.ds(0, C), :])
                 sCr = _stream_add(sCr, irr + cre[:, None], is_max)
                 return sCl, sCr
 
@@ -505,18 +518,18 @@ def _inside_fill_v3(n1, n1r, ip, fr, is_max, attL, attR, seedR, seedL,
             cl_rest = _stream_fin(sCl, is_max)
             cr_rest = _stream_fin(sCr, is_max)
             cl_new = plus(cl_rest,
-                          il_new + Cl[0, NOCHILD, pl.ds(0, C), :][None])
-            cre0 = CrEF[n1 - 1, 0, pl.ds(w, C), :]
+                          il_new + ld(Cl[0, NOCHILD, pl.ds(0, C), :])[None])
+            cre0 = ld(CrEF[n1 - 1, 0, pl.ds(w, C), :])
             cr_new = plus(cr_rest, ir_new + cre0[None])
 
             root_keep = (i_iota != 0) | (lengths[None, :] == w)
             cr_new = jnp.where(valid & root_keep[None], cr_new, NEGINF)
             cl_new = jnp.where(valid, cl_new, NEGINF)
-            Ir[w, :, pl.ds(0, C), :] = ir_new
-            Cr[w, :, pl.ds(0, C), :] = cr_new
-            Cl[w, :, pl.ds(0, C), :] = cl_new
-            ClKF[n1 - 1 - w, :, pl.ds(w, C), :] = cl_new
-            CrEF[n1 - 1 - w, 0, pl.ds(w, C), :] = cr_new[NOCHILD]
+            Ir[w, :, pl.ds(0, C), :] = st(ir_new)
+            Cr[w, :, pl.ds(0, C), :] = st(cr_new)
+            Cl[w, :, pl.ds(0, C), :] = st(cl_new)
+            ClKF[n1 - 1 - w, :, pl.ds(w, C), :] = st(cl_new)
+            CrEF[n1 - 1 - w, 0, pl.ds(w, C), :] = st(cr_new[NOCHILD])
 
             out_acc = jnp.where(lengths == w, cr_new[NOCHILD, 0, :],
                                 out_acc)
@@ -1100,8 +1113,11 @@ def _pallas_inside_call_v3(attL, attR, seedR, seedL, lengths, *, is_max,
     nx = n1 + TCH
     grid = (B // BT,)
     att_spec, seed_spec, row_spec = _specs(n1, n1r)
-    flip = lambda v: pltpu.VMEM((fr, v, ip, BT), jnp.float32)
-    chart = lambda: pltpu.VMEM((nx, 2, n1r, BT), jnp.float32)
+    # chart STORAGE dtype (see CHART_STORE_DTYPE); the save path hands
+    # its charts to the v4 outside, whose layout contract is f32
+    cdt = CHART_STORE_DTYPE if not save_charts else jnp.float32
+    flip = lambda v: pltpu.VMEM((fr, v, ip, BT), cdt)
+    chart = lambda: pltpu.VMEM((nx, 2, n1r, BT), cdt)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     cost = pl.CostEstimate(
         flops=12 * n1 ** 3 * B,
