@@ -350,11 +350,14 @@ def bench_stretch(length=64, batch=1024, iters=16):
     return batch / dt
 
 
-def bench_train_step(B=64, L=10, P=36, iters=64):
+def bench_train_step(B=64, L=10, P=36, iters=64, vit=False):
     """Full joint-model (VLGAE) train step at the reference's default
     training scale (ref: config/data/vlparse.yaml batch<=64, len<=10,
     35 proposals): forward (3 chart DPs) + grounding loss + backward +
-    Adam. Reported as sentences/sec."""
+    Adam. Reported as sentences/sec. ``vit=True`` swaps the visual
+    branch to the frozen-ViT patch grid over raw pixels (the exp=
+    vlgae_vit recipe, BASELINE config #5) — P becomes the patch count
+    and the 2048-d region features become [224, 224, 3] images."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -382,11 +385,27 @@ def bench_train_step(B=64, L=10, P=36, iters=64):
     )
     import jax.numpy as _jnp
 
+    if vit:
+        from transformers import ViTConfig
+
+        from vlgae_tpu.models import VisViTPatchEncoder
+
+        img_size, patch = (64, 32) if SMOKE else (224, 32)
+        vit_cfg = ViTConfig(
+            hidden_size=192, num_hidden_layers=4, num_attention_heads=4,
+            intermediate_size=384, image_size=img_size, patch_size=patch,
+            num_channels=3,
+        )
+        vis_encoder = VisViTPatchEncoder(
+            n_hidden=256, vit_config=vit_cfg, dtype=_jnp.bfloat16)
+        P = vis_encoder.n_patches
+    else:
+        vis_encoder = VisBoxRelSimpleEncoder(n_hidden=256,
+                                             dtype=_jnp.bfloat16)
     model = DependencyBoxRel(
         cfg=DependencyBoxRelConfig(match_hidden=128, bf16_matmul=True),
         dep_cfg=dep_cfg, dependency=dep,
-        vis_encoder=VisBoxRelSimpleEncoder(n_hidden=256,
-                                           dtype=_jnp.bfloat16),
+        vis_encoder=vis_encoder,
         pos_for_obj=(2, 3), pos_for_rel=(4, 5), pos_for_attr=(6,),
     )
     rng = np.random.default_rng(0)
@@ -395,11 +414,18 @@ def bench_train_step(B=64, L=10, P=36, iters=64):
         "word": jnp.asarray(rng.integers(2, N_WORD, (B, L)), jnp.int32),
         "tag": jnp.asarray(rng.integers(2, N_TAG, (B, L)), jnp.int32),
         "seq_len": jnp.full((B,), L, jnp.int32),
-        "vis_box_feat": jnp.asarray(
-            rng.standard_normal((B, P, 2048)), jnp.float32),
-        "vis_box_mask": jnp.asarray(np.tile(np.arange(P) < 35, (B, 1))),
+        "vis_box_mask": jnp.asarray(np.tile(np.arange(P) < (P if vit
+                                    else 35), (B, 1))),
         "vis_available": jnp.ones(B, bool),
     }
+    if vit:
+        inputs["vis_pixels"] = jnp.asarray(
+            rng.standard_normal(
+                (B, vit_cfg.image_size, vit_cfg.image_size, 3)
+            ), jnp.float32)
+    else:
+        inputs["vis_box_feat"] = jnp.asarray(
+            rng.standard_normal((B, P, 2048)), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), inputs)
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
@@ -526,6 +552,15 @@ def main():
                  if SMOKE else bench_train_step(B=256, L=10, P=36,
                                                 iters=32)),
     )
+    # ViT-swap recipe at the stretch caption length (BASELINE #5: the
+    # CLIP/ViT half): frozen 4-layer ViT over 224x224 pixels, 49 patch
+    # factors, len-50 captions
+    train_vit = run_leg(
+        "joint_train_step_vit",
+        lambda: (bench_train_step(B=4, L=6, iters=2, vit=True)
+                 if SMOKE else bench_train_step(B=64, L=50, iters=4,
+                                                vit=True)),
+    )
     stretch_sps = run_leg(
         "stretch_len64",
         lambda: (bench_stretch(length=12, batch=16, iters=2)
@@ -558,6 +593,10 @@ def main():
             train_b256 and train_b256[0]),
         "joint_train_step_len10_b256_ms": _r(
             train_b256 and train_b256[1] * 1e3, 3),
+        "joint_train_step_vit_len50_b64_sentences_per_sec": _r(
+            train_vit and train_vit[0]),
+        "joint_train_step_vit_len50_b64_ms": _r(
+            train_vit and train_vit[1] * 1e3, 3),
         "mbr_decode_len30_b256_sentences_per_sec": _r(decode_sps),
         # perf observability: the DP is VPU/transcendental-bound, so the
         # honest roofline is measured logaddexp throughput, not MXU MFU

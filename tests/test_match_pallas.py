@@ -178,6 +178,7 @@ def test_fits_gate_recipe_and_fallback_shapes():
 
     assert match_maxes_fits(64, 703, 130, 64, 101)   # exp=vlgae scale
     assert match_maxes_fits(64, 739, 130, 64, 129)   # len-64 stretch
+    assert match_maxes_fits(64, 703, 130, 64, 91)    # len-45 soak (Q~91)
     assert not match_maxes_fits(2, 8, 4, 0, 5)       # empty batch
     assert not match_maxes_fits(2, 8, 4, 101, 5)     # B=101: s=128 > cap
 
