@@ -107,14 +107,20 @@ def main():
         return leg_time(leg)
     rows = []
     for leg in ("f32", "bf16", "accuracy"):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), leg],
-            capture_output=True, text=True, cwd=REPO, timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), leg],
+                capture_output=True, text=True, cwd=REPO, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            rows.append({"leg": leg, "error": "timeout"})
+            continue
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 rows.append(json.loads(line))
         if proc.returncode:
+            rows.append({"leg": leg,
+                         "error": f"exit {proc.returncode}"})
             sys.stderr.write(f"[ab_bf16] {leg} failed:\n"
                              + proc.stderr[-2000:] + "\n")
     print(json.dumps({"summary": rows}), flush=True)

@@ -135,7 +135,7 @@ def leg_launch(n1: int):
         "v3_save": dp._v3_max_launch(n1, save=True),
         "outside": dp._outside_max_launch(n1),
     }
-    B = max(v for v in caps.values() if v) or dp._MAX_LAUNCH_B
+    B = max((v for v in caps.values() if v), default=dp._MAX_LAUNCH_B)
     N = n1 - 1
     dec, attach, lengths = bench.make_inputs(B, N)
     val, g = jax.jit(
@@ -150,11 +150,15 @@ def leg_launch(n1: int):
 
 
 def _run_leg(*args) -> dict | None:
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), *map(str, args)],
-        capture_output=True, text=True, cwd=REPO,
-        timeout=int(os.environ.get("DERIVE_LEG_TIMEOUT", "900")),
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *map(str, args)],
+            capture_output=True, text=True, cwd=REPO,
+            timeout=int(os.environ.get("DERIVE_LEG_TIMEOUT", "900")),
+        )
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"[derive] leg {args} timed out\n")
+        return None
     for line in proc.stdout.splitlines():
         if line.startswith("{"):
             return json.loads(line)

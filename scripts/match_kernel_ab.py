@@ -66,15 +66,12 @@ def run_parity():
                     dtype=np.float32)
     np.testing.assert_array_equal(m, att.max(-1))
     np.testing.assert_array_equal(mv, att.max(-2))
-    datt = np.zeros_like(att)
-    im = att.argmax(-1)
-    b, a, q = np.ogrid[:B, :A, :Q]
-    np.add.at(datt, (b, a, q, im), np.asarray(wm))
-    iq = att.argmax(-2)
-    b, a, v = np.ogrid[:B, :A, :V]
-    np.add.at(datt, (b, a, iq, v), np.asarray(wmv))
-    want_dvis = np.einsum("baqv,bqd->avd", datt, np.asarray(txt))
-    want_dtxt = np.einsum("baqv,avd->bqd", datt, np.asarray(vis))
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from oracles import route_one_winner  # shared reference oracle
+
+    want_dvis, want_dtxt = route_one_winner(
+        att, np.asarray(wm), np.asarray(wmv), vis, txt)
     np.testing.assert_allclose(dvis, want_dvis, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(dtxt, want_dtxt, rtol=1e-5, atol=1e-5)
     print(json.dumps({"leg": "parity", "shape": [A, B, Q, V, D],

@@ -170,3 +170,20 @@ def brute_entropy(scores):
     logz = logsumexp(scores)
     p = np.exp(scores - logz)
     return -(p * (scores - logz)).sum()
+
+
+def route_one_winner(att, dm, dmv, vis, txt):
+    """First-winner (torch .max) cotangent routing for the matching
+    maxes, vectorized: the reference gradient oracle shared by
+    tests/test_match_pallas.py and scripts/match_kernel_ab.py."""
+    Bn, An, Qn, Vn = att.shape
+    datt = np.zeros_like(att)
+    im = att.argmax(-1)
+    b, a, q = np.ogrid[:Bn, :An, :Qn]
+    np.add.at(datt, (b, a, q, im), dm)
+    iq = att.argmax(-2)
+    b, a, v = np.ogrid[:Bn, :An, :Vn]
+    np.add.at(datt, (b, a, iq, v), dmv)
+    want_dvis = np.einsum("baqv,bqd->avd", datt, np.asarray(txt))
+    want_dtxt = np.einsum("baqv,avd->bqd", datt, np.asarray(vis))
+    return want_dvis, want_dtxt

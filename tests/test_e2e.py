@@ -143,11 +143,25 @@ def test_vlgae_vit_swap_e2e(tmp_path_factory, tmp_path, monkeypatch):
             for m in re.finditer(r"(\d+)", align):
                 assert 0 <= int(m.group(1)) < 4, line
 
-    # frozen backbone: the ViT params are untouched by training
+    # frozen backbone: stop_gradient means the ViT params got ZERO
+    # gradient at every step, so Adam's first moment for them is still
+    # exactly zero (existence + untrained, not just existence)
+    import jax
+    import numpy as np
     from flax import traverse_util
 
-    flat = traverse_util.flatten_dict(pipe.state.params)
-    assert any("vit" in "/".join(map(str, k)) for k in flat)
+    mu = next(s for s in jax.tree_util.tree_leaves(
+        pipe.state.opt_state, is_leaf=lambda x: hasattr(x, "mu")
+    ) if hasattr(s, "mu")).mu
+    vit_mu = {k: v for k, v in traverse_util.flatten_dict(mu).items()
+              if "vit" in "/".join(map(str, k))}
+    assert vit_mu, "expected ViT params in the optimizer state"
+    assert all(float(np.abs(np.asarray(v)).max()) == 0.0
+               for v in vit_mu.values()), "frozen ViT received gradients"
+    head_mu = {k: v for k, v in traverse_util.flatten_dict(mu).items()
+               if "head" in "/".join(map(str, k))}
+    assert any(float(np.abs(np.asarray(v)).max()) > 0.0
+               for v in head_mu.values()), "factor head never trained"
 
 
 def test_classic_dmv_e2e(corpus):

@@ -11,6 +11,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from oracles import route_one_winner as _route_one_winner
 from vlgae_tpu.ops.match_pallas import match_maxes_pallas
 
 A, V, B, Q, D = 3, 10, 4, 5, 7
@@ -110,21 +111,6 @@ def test_masked_columns_stay_below_real_scores():
     # masked query rows carry the -INF bias, not padding zeros
     assert float(np.asarray(logit)[0, 0, 0]) < -1e8
     assert float(np.asarray(logit_v)[0, 0, 0]) < -1e8
-
-
-def _route_one_winner(att, dm, dmv, vis, txt):
-    """First-winner (torch .max) cotangent routing, vectorized."""
-    Bn, An, Qn, Vn = att.shape
-    datt = np.zeros_like(att)
-    im = att.argmax(-1)
-    b, a, q = np.ogrid[:Bn, :An, :Qn]
-    np.add.at(datt, (b, a, q, im), dm)
-    iq = att.argmax(-2)
-    b, a, v = np.ogrid[:Bn, :An, :Vn]
-    np.add.at(datt, (b, a, iq, v), dmv)
-    want_dvis = np.einsum("baqv,bqd->avd", datt, np.asarray(txt))
-    want_dtxt = np.einsum("baqv,avd->bqd", datt, np.asarray(vis))
-    return want_dvis, want_dtxt
 
 
 @pytest.mark.parametrize(

@@ -48,9 +48,13 @@ def multirun(overrides):
     import string
 
     fixed, axes = _sweep_axes(overrides)
-    group = os.environ.get("MULTIRUN_ID") or "".join(
+    prior_group = os.environ.get("MULTIRUN_ID")
+    group = prior_group or "".join(
         random.choice(string.ascii_letters + string.digits) for _ in range(4)
     )
+    # children see the group id (the reference exports MULTIRUN_ID for
+    # wandb tagging); restored after the sweep so a later independent
+    # sweep in the same process gets a fresh id
     os.environ["MULTIRUN_ID"] = group
     sweep_dir = os.path.join(
         "outputs", "multirun", time.strftime("%Y-%m-%d_%H-%M-%S")
@@ -58,22 +62,26 @@ def multirun(overrides):
     os.makedirs(sweep_dir, exist_ok=True)
     combos = list(itertools.product(*(v for _, v in axes))) or [()]
     results = []
-    with open(os.path.join(sweep_dir, "results.jsonl"), "w") as rf:
-        for job, combo in enumerate(combos):
-            job_ovs = fixed + [f"{k}={v}"
-                               for (k, _), v in zip(axes, combo)]
-            workdir = os.path.join(sweep_dir, str(job))
-            pipe, test = main(job_ovs + [f"workdir={workdir}"])
-            with open(os.path.join(workdir, "multirun.json"), "w") as f:
-                json.dump({"group": group, "job": job,
-                           "overrides": job_ovs}, f)
-            line = {"group": group, "job": job,
-                    "overrides": [f"{k}={v}"
-                                  for (k, _), v in zip(axes, combo)],
-                    "best": pipe.best, "test": test}
-            rf.write(json.dumps(line, default=float) + "\n")
-            rf.flush()
-            results.append(line)
+    try:
+        with open(os.path.join(sweep_dir, "results.jsonl"), "w") as rf:
+            for job, combo in enumerate(combos):
+                job_ovs = fixed + [f"{k}={v}"
+                                   for (k, _), v in zip(axes, combo)]
+                workdir = os.path.join(sweep_dir, str(job))
+                pipe, test = main(job_ovs + [f"workdir={workdir}"])
+                with open(os.path.join(workdir, "multirun.json"), "w") as f:
+                    json.dump({"group": group, "job": job,
+                               "overrides": job_ovs}, f)
+                line = {"group": group, "job": job,
+                        "overrides": [f"{k}={v}"
+                                      for (k, _), v in zip(axes, combo)],
+                        "best": pipe.best, "test": test}
+                rf.write(json.dumps(line, default=float) + "\n")
+                rf.flush()
+                results.append(line)
+    finally:
+        if prior_group is None:
+            os.environ.pop("MULTIRUN_ID", None)
     return results
 
 
