@@ -25,8 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402  (diff_time)
 
-B, L, P = 64, 10, 36
-ITERS = 64
+B = int(os.environ.get("PROFILE_B", "64"))
+L = int(os.environ.get("PROFILE_L", "10"))
+P = int(os.environ.get("PROFILE_P", "36"))
+ITERS = int(os.environ.get("PROFILE_ITERS", "64"))
 
 
 def main():

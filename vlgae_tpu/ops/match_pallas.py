@@ -15,15 +15,17 @@ txt_blk^T`` ([V, blkQ*B], a few MB) lives only in VMEM: one MXU GEMM
 per grid step, both maxes reduced in-register, only the [.., Q] /
 [.., V] maxima (plus int32 argmax indices) reach HBM.
 
-The grid is (A, n_qblocks): queries are processed in static blocks of
-at most ``_MAX_UNROLL_Q`` q's (the per-block lane loop is Python-
-unrolled; the tail block is masked by a runtime global-q bound), so the
-kernel admits arbitrary Q — in particular the paper recipe's len-50
-joint shapes (Q = 1 + L + L ~ 101) that the round-3 kernel's whole-Q
-unroll excluded. The running (max, argmax)-over-q accumulates across
-q-blocks in the revisited [V, B] output block; argmax indices are
-GLOBAL q, and strict-greater updates keep the first winner across
-blocks exactly as within one.
+The grid is (A, n_qblocks): queries are processed in static power-of-
+two blocks of at most ``_MAX_BLK_Q`` q's (the tail block is masked by a
+runtime global-q bound), so the kernel admits arbitrary Q — in
+particular the paper recipe's len-50 joint shapes (Q = 1 + L + L ~ 101)
+that the round-3 kernel's whole-Q unroll excluded. The per-block
+(max, argmax)-over-q runs as a halving TREE over the lane axis
+(log2(blkQ) full-width VPU selects, ties broken on the carried q
+index) instead of a blkQ-long sequential carry of half-lane updates;
+the block winner then folds once into the revisited [V, B] output
+block, whose argmax indices are GLOBAL q — strict-greater folds keep
+the first winner across blocks exactly as within one.
 
 The backward is argmax-routed from the saved indices (the one-winner
 subgradient of torch's ``.max()``, which the reference relies on — XLA's
@@ -64,8 +66,9 @@ _VMEM_BUDGET = 56 * 1024 * 1024
 # stack-allocates in VMEM, ~16.04MB at Q=101/V=703/B=64) fails to
 # compile even though the per-step blocks fit — measured on v5e
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-# per-q-block lane loops are Python-unrolled: cap the unroll size
-_MAX_UNROLL_Q = 64
+# cap on the q-block size (the tree reduction and the bwd tiling cost
+# log2(blkQ) full-width passes; 64 keeps blocks inside VMEM at scale)
+_MAX_BLK_Q = 64
 
 
 def _plan(V, D, B, Q):
@@ -73,20 +76,24 @@ def _plan(V, D, B, Q):
 
     A q-block of ``blkQ`` queries spans ``blkQ * B`` lanes; BlockSpec
     needs that to be 128-divisible, so blkQ must be a multiple of
-    ``s = 128 / gcd(B, 128)``. Within that constraint we take the
-    largest block under the unroll cap that keeps the bigger (backward)
-    step inside the VMEM budget.
+    ``s = 128 / gcd(B, 128)`` — and a power-of-two multiple (s is a
+    power of two, so blkQ is a power of two), because the in-kernel
+    max/argmax-over-q runs as a halving tree over the lane axis.
+    Within that constraint we take the largest block under the cap
+    that keeps the bigger (backward) step inside the VMEM budget.
 
     Returns (blkQ, nQB, Vp, Dp) or None.
     """
     if min(V, D, B, Q) < 1:
         return None
     s = 128 // math.gcd(B, 128)
-    if s > _MAX_UNROLL_Q:
+    if s > _MAX_BLK_Q:
         return None  # tiny odd batches: the einsum path is fine there
     Vp = _rup(V, 8)
     Dp = _rup(D, 128)
-    blkQ = min((_MAX_UNROLL_Q // s) * s, _rup(Q, s))
+    blkQ = s
+    while blkQ < min(_MAX_BLK_Q, _rup(Q, s)):
+        blkQ *= 2
     while blkQ >= s:
         nQB = -(-Q // blkQ)
         Lpad = nQB * blkQ * B
@@ -105,7 +112,7 @@ def _plan(V, D, B, Q):
         )
         if max(fwd, bwd) <= _VMEM_BUDGET:
             return blkQ, nQB, Vp, Dp
-        blkQ -= s
+        blkQ //= 2  # keep the power-of-two tree invariant
     return None
 
 
@@ -145,16 +152,32 @@ def _fwd_kernel(blkQ, B, V, Q, Vp, txtT_ref, vis_ref,
         mv_ref[0] = jnp.full((Vp, B), -jnp.inf, jnp.float32)
         iv_ref[0] = jnp.zeros((Vp, B), jnp.int32)
 
-    mv = mv_ref[0]
-    iv = iv_ref[0]
-    for q in range(blkQ):
-        gq = j * blkQ + q
-        blk = att[:, q * B:(q + 1) * B]
-        upd = jnp.logical_and(blk > mv, gq < Q)
-        mv = jnp.where(upd, blk, mv)
-        iv = jnp.where(upd, gq, iv)
-    mv_ref[0] = mv
-    iv_ref[0] = iv
+    # halving tree over the q groups instead of a blkQ-long sequential
+    # carry of half-lane [Vp, B] updates: each level is ONE full-width
+    # VPU select, so the whole block reduction is log2(blkQ) passes.
+    # Ties break on the carried q index (values migrate across lane
+    # positions through the tree, so positional lo-wins is NOT enough
+    # to reproduce the sequential first-winner semantics).
+    lane_q = lax.broadcasted_iota(jnp.int32, att.shape, 1) // B
+    # mask padded tail q's BEFORE the tree (their att rows are txt-pad
+    # zeros, which could beat real negative scores)
+    cur = jnp.where(j * blkQ + lane_q < Q, att, -jnp.inf)
+    idx = lane_q
+    width = blkQ
+    while width > 1:
+        half = width // 2
+        lo, hi = cur[:, : half * B], cur[:, half * B:]
+        ilo, ihi = idx[:, : half * B], idx[:, half * B:]
+        upd = (hi > lo) | ((hi == lo) & (ihi < ilo))
+        cur = jnp.where(upd, hi, lo)
+        idx = jnp.where(upd, ihi, ilo)
+        width = half
+    # one half-lane fold of the block winner into the global carry
+    # (strict greater: earlier blocks hold smaller q, so cross-block
+    # ties keep the first winner)
+    upd = cur > mv_ref[0]
+    iv_ref[0] = jnp.where(upd, j * blkQ + idx, iv_ref[0])
+    mv_ref[0] = jnp.where(upd, cur, mv_ref[0])
 
 
 def _bwd_kernel(blkQ, B, Vp, Q, txtT_ref, vis_ref, im_ref, iv_ref,
@@ -179,10 +202,19 @@ def _bwd_kernel(blkQ, B, Vp, Q, txtT_ref, vis_ref, im_ref, iv_ref,
     # v-direction winners: W1[v, l] = [v == im[l]] * dm[l]
     iota_v = lax.broadcasted_iota(jnp.int32, (Vp, blkL), 0)
     w = jnp.where(iota_v == im[None, :], dm[None, :], 0.0)
-    # q-direction winners, assembled lane-block by lane-block; each
-    # global q lives in exactly one q-block, so no double counting
-    blocks = [jnp.where(iv == j * blkQ + q, dmv, 0.0) for q in range(blkQ)]
-    w = (w + jnp.concatenate(blocks, axis=1)).astype(jnp.bfloat16)
+    # q-direction winners: tile (iv, dmv) across the q groups by
+    # log2(blkQ) concat-doublings (lane l = q*B + b carries column b's
+    # values), then ONE full-width compare against the lane's global q;
+    # each global q lives in exactly one q-block, so no double counting
+    t_iv, t_dmv = iv, dmv
+    width = 1
+    while width < blkQ:
+        t_iv = jnp.concatenate([t_iv, t_iv], axis=1)
+        t_dmv = jnp.concatenate([t_dmv, t_dmv], axis=1)
+        width *= 2
+    lane_q = lax.broadcasted_iota(jnp.int32, (Vp, blkL), 1) // B
+    wq = jnp.where(t_iv == j * blkQ + lane_q, t_dmv, 0.0)
+    w = (w + wq).astype(jnp.bfloat16)
 
     @pl.when(j == 0)
     def _():
