@@ -255,8 +255,10 @@ def main():
     )
     out.append("")
     report = "\n".join(out)
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "PROFILE_JOINT.md")
+    path = os.environ.get("PROFILE_OUT") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PROFILE_JOINT.md",
+    )
     with open(path, "w") as f:
         f.write(report)
     print(report)
