@@ -143,6 +143,23 @@ def test_vlgae_vit_swap_e2e(tmp_path_factory, tmp_path, monkeypatch):
             for m in re.finditer(r"(\d+)", align):
                 assert 0 <= int(m.group(1)) < 4, line
 
+    # the standalone evaluator scores ViT predictions once the proposal
+    # boxes are the patch grid (scripts/make_patch_roi_boxes.py)
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import eval as eval_cli
+    import make_patch_roi_boxes
+
+    roi_out = str(tmp_path / "patch_roi_boxes.json")
+    make_patch_roi_boxes.main([
+        "--dataroot", str(corpus), "--split", "val",
+        "--image-size", "32", "--patch-size", "16", "--out", roi_out,
+    ])
+    import shutil
+
+    shutil.copy(roi_out, str(corpus / "dev_roi_boxes.json"))
+    counts = eval_cli.main(["--file", dev_pred, "--dataroot", str(corpus)])
+    assert counts["obj"][1] > 0  # obj alignments were scored
+
     # frozen backbone: stop_gradient means the ViT params got ZERO
     # gradient at every step, so Adam's first moment for them is still
     # exactly zero (existence + untrained, not just existence)
