@@ -120,6 +120,7 @@ def test_masked_columns_stay_below_real_scores():
         (2, 37, 8, 101, 10),  # the paper-recipe Q (len-50: 1+L+L), ragged
         (3, 10, 12, 33, 7),   # awkward gcd(B,128) + masked tail block
         (2, 9, 4, 130, 5),    # 3+ q-blocks with a masked tail
+        (2, 9, 128, 17, 5),   # B % 128 == 0: tree runs to width 1
     ],
 )
 def test_blocked_q_grid_matches_numpy(An, Vn, Bn, Qn, Dn):

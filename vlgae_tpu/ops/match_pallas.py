@@ -21,11 +21,17 @@ runtime global-q bound), so the kernel admits arbitrary Q — in
 particular the paper recipe's len-50 joint shapes (Q = 1 + L + L ~ 101)
 that the round-3 kernel's whole-Q unroll excluded. The per-block
 (max, argmax)-over-q runs as a halving TREE over the lane axis
-(log2(blkQ) full-width VPU selects, ties broken on the carried q
-index) instead of a blkQ-long sequential carry of half-lane updates;
-the block winner then folds once into the revisited [V, B] output
-block, whose argmax indices are GLOBAL q — strict-greater folds keep
-the first winner across blocks exactly as within one.
+(log2 full-width VPU selects, ties broken on the carried q index)
+instead of a blkQ-long sequential carry of half-lane updates. The tree
+stops at the last level whose half-slices stay lane-tile (128)
+aligned — Mosaic's extract_strided_slice SIGABRTs on sub-128-lane
+slices of shrunken values (v5e, "Check failed: limits[i] <= dim(i)") —
+so the kernel carries a [V, stopW*B] candidate block (strict-greater
+folds across revisited q-blocks keep the first winner) and the final
+fold across the stopW surviving lane groups runs caller-side in XLA
+(max value, ties to the smallest global q: each candidate already
+holds the first winner of its subtree x blocks, so the composition is
+exactly the sequential first-winner semantics).
 
 The backward is argmax-routed from the saved indices (the one-winner
 subgradient of torch's ``.max()``, which the reference relies on — XLA's
@@ -71,6 +77,18 @@ _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 _MAX_BLK_Q = 64
 
 
+def _stop_width(blkQ, B):
+    """Number of q-groups still alive when the in-kernel halving tree
+    stops: the tree only runs levels whose half-slices are lane-tile
+    (128) aligned, because Mosaic miscompiles sub-128-lane strided
+    slices of shrunken values (v5e SIGABRT in ApplyVectorLayout). The
+    surviving ``stopW`` groups are folded caller-side in XLA."""
+    w = blkQ
+    while w > 1 and (w // 2) * B % 128 == 0:
+        w //= 2
+    return w
+
+
 def _plan(V, D, B, Q):
     """Pick the q-block size, or None when no legal block fits.
 
@@ -98,9 +116,10 @@ def _plan(V, D, B, Q):
         nQB = -(-Q // blkQ)
         Lpad = nQB * blkQ * B
         blkL = blkQ * B
+        cw = _stop_width(blkQ, B) * B    # carried candidate-block lanes
         # double-buffered blocks + single-buffered temporaries/full blocks
         fwd = (
-            2 * (Dp * blkL * 2 + Vp * Dp * 2 + 2 * blkL * 4 + 2 * Vp * B * 4)
+            2 * (Dp * blkL * 2 + Vp * Dp * 2 + 2 * blkL * 4 + 2 * Vp * cw * 4)
             + Vp * blkL * 4
         )
         bwd = (
@@ -145,34 +164,49 @@ def _fwd_kernel(blkQ, B, V, Q, Vp, txtT_ref, vis_ref,
     im_ref[0, 0, :] = im.astype(jnp.int32)
 
     # running max/first-argmax over GLOBAL q, accumulated across blocks
-    # (the [Vp, B] block is revisited consecutively along the q-block
-    # grid axis). Padded tail q's never update (gq >= Q).
+    # (the [Vp, stopW*B] candidate block is revisited consecutively
+    # along the q-block grid axis). Padded tail q's never update.
+    sw = _stop_width(blkQ, B)
     @pl.when(j == 0)
     def _():
-        mv_ref[0] = jnp.full((Vp, B), -jnp.inf, jnp.float32)
-        iv_ref[0] = jnp.zeros((Vp, B), jnp.int32)
+        mv_ref[0] = jnp.full((Vp, sw * B), -jnp.inf, jnp.float32)
+        iv_ref[0] = jnp.zeros((Vp, sw * B), jnp.int32)
 
     # halving tree over the q groups instead of a blkQ-long sequential
     # carry of half-lane [Vp, B] updates: each level is ONE full-width
-    # VPU select, so the whole block reduction is log2(blkQ) passes.
-    # Ties break on the carried q index (values migrate across lane
-    # positions through the tree, so positional lo-wins is NOT enough
-    # to reproduce the sequential first-winner semantics).
+    # VPU select. Ties break on the carried q index (values migrate
+    # across lane positions through the tree, so positional lo-wins is
+    # NOT enough to reproduce the sequential first-winner semantics).
+    # The tree stops while its half-slices stay 128-lane aligned (see
+    # _stop_width); the final fold over the sw surviving lane groups
+    # happens caller-side in XLA.
     lane_q = lax.broadcasted_iota(jnp.int32, att.shape, 1) // B
     # mask padded tail q's BEFORE the tree (their att rows are txt-pad
     # zeros, which could beat real negative scores)
     cur = jnp.where(j * blkQ + lane_q < Q, att, -jnp.inf)
     idx = lane_q
     width = blkQ
-    while width > 1:
+    first = True
+    while width > sw:
         half = width // 2
         lo, hi = cur[:, : half * B], cur[:, half * B:]
-        ilo, ihi = idx[:, : half * B], idx[:, half * B:]
-        upd = (hi > lo) | ((hi == lo) & (ihi < ilo))
+        if first:
+            # never SLICE the raw iota: it is sublane-replicated in
+            # Mosaic's layout and extract_strided_slice SIGABRTs on it
+            # ("Check failed: limits[i] <= dim(i)", v5e). Level-1 index
+            # halves are statically g and g + half, and ihi > ilo
+            # always, so ties keep lo.
+            upd = hi > lo
+            sub_q = lax.broadcasted_iota(jnp.int32, lo.shape, 1) // B
+            idx = jnp.where(upd, sub_q + half, sub_q)
+            first = False
+        else:
+            ilo, ihi = idx[:, : half * B], idx[:, half * B:]
+            upd = (hi > lo) | ((hi == lo) & (ihi < ilo))
+            idx = jnp.where(upd, ihi, ilo)
         cur = jnp.where(upd, hi, lo)
-        idx = jnp.where(upd, ihi, ilo)
         width = half
-    # one half-lane fold of the block winner into the global carry
+    # full-width fold of the per-group winners into the global carry
     # (strict greater: earlier blocks hold smaller q, so cross-block
     # ties keep the first winner)
     upd = cur > mv_ref[0]
@@ -266,6 +300,7 @@ def _fwd_impl(vis_b, txt_b, interpret):
     blkQ, nQB, Vp, Dp = plan
     vis, txtT, Lpad = _pad_inputs(vis_b, txt_b, plan)
     blkL = blkQ * B
+    cw = _stop_width(blkQ, B) * B           # candidate-block lanes
     kernel = functools.partial(_fwd_kernel, blkQ, B, V, Q, Vp)
     m, im, mv, iv = pl.pallas_call(
         kernel,
@@ -283,26 +318,40 @@ def _fwd_impl(vis_b, txt_b, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, blkL), lambda a, j: (a, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, B), lambda a, j: (a, 0, 0),
+            pl.BlockSpec((1, Vp, cw), lambda a, j: (a, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, B), lambda a, j: (a, 0, 0),
+            pl.BlockSpec((1, Vp, cw), lambda a, j: (a, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((A, 1, Lpad), jnp.float32),
             jax.ShapeDtypeStruct((A, 1, Lpad), jnp.int32),
-            jax.ShapeDtypeStruct((A, Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((A, Vp, B), jnp.int32),
+            jax.ShapeDtypeStruct((A, Vp, cw), jnp.float32),
+            jax.ShapeDtypeStruct((A, Vp, cw), jnp.int32),
         ),
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
         cost_estimate=pl.CostEstimate(
             flops=2 * A * Vp * Lpad * Dp,
             bytes_accessed=A * (Vp * Dp + Dp * Lpad) * 2
-            + A * (2 * Lpad + 2 * Vp * B) * 4,
+            + A * (2 * Lpad + 2 * Vp * cw) * 4,
             transcendentals=0,
         ),
     )(txtT, vis)
+    # final fold over the stopW surviving lane groups (lane = g*B + b;
+    # each candidate is the first winner of its subtree x blocks, so
+    # max value + smallest-q tie-break composes to the exact global
+    # first-winner). Runs in XLA: in-kernel sub-128-lane slices of
+    # shrunken values SIGABRT Mosaic on v5e.
+    sw = cw // B
+    if sw > 1:
+        vals = mv.reshape(A, Vp, sw, B)
+        qs = iv.reshape(A, Vp, sw, B)
+        mv = jnp.max(vals, axis=2)
+        iv = jnp.min(
+            jnp.where(vals == mv[:, :, None, :], qs, jnp.int32(1 << 30)),
+            axis=2,
+        )
     # m: [A, 1, Lpad] q-major -> logit [B, A, Q]
     logit = m[:, 0, :Q * B].reshape(A, Q, B).transpose(2, 0, 1)
     logit_v = mv[:, :V, :].transpose(2, 0, 1)  # [B, A, V]
