@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -73,8 +74,16 @@ _VMEM_BUDGET = 56 * 1024 * 1024
 # compile even though the per-step blocks fit — measured on v5e
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 # cap on the q-block size (the tree reduction and the bwd tiling cost
-# log2(blkQ) full-width passes; 64 keeps blocks inside VMEM at scale)
-_MAX_BLK_Q = 64
+# log2(blkQ) full-width passes; 64 keeps blocks inside VMEM at scale).
+# v5e-derived; override with VLGAE_MATCH_MAX_BLK_Q (power of two) when
+# re-deriving on other parts — see scripts/derive_kernel_gates.py
+_MAX_BLK_Q = int(os.environ.get("VLGAE_MATCH_MAX_BLK_Q", "64"))
+# preferred q-block width in lanes: the recipe-shape cap sweep on v5e
+# (A=B=64/Q=101/V=703/D=130; NOTES_ROUND4.md) measured fwd+bwd 5.36 ms
+# at 4096-lane blocks, 4.78 at 1024, 4.76 at 512, 5.33 at 256 — small
+# blocks cut tail padding and tree depth, but below ~4 lane-tiles the
+# extra grid steps win. Override for re-derivation on other parts.
+_TARGET_BLK_LANES = int(os.environ.get("VLGAE_MATCH_BLK_LANES", "512"))
 
 
 def _stop_width(blkQ, B):
@@ -97,8 +106,11 @@ def _plan(V, D, B, Q):
     ``s = 128 / gcd(B, 128)`` — and a power-of-two multiple (s is a
     power of two, so blkQ is a power of two), because the in-kernel
     max/argmax-over-q runs as a halving tree over the lane axis.
-    Within that constraint we take the largest block under the cap
-    that keeps the bigger (backward) step inside the VMEM budget.
+    Within that constraint we take the smallest block spanning at
+    least ``_TARGET_BLK_LANES`` lanes (the measured v5e sweet spot:
+    small blocks cut tail padding and tree depth, but sub-512-lane
+    blocks pay more in grid steps), shrinking only if the bigger
+    (backward) step exceeds the VMEM budget.
 
     Returns (blkQ, nQB, Vp, Dp) or None.
     """
@@ -110,7 +122,8 @@ def _plan(V, D, B, Q):
     Vp = _rup(V, 8)
     Dp = _rup(D, 128)
     blkQ = s
-    while blkQ < min(_MAX_BLK_Q, _rup(Q, s)):
+    while (blkQ < min(_MAX_BLK_Q, _rup(Q, s))
+           and blkQ * B < _TARGET_BLK_LANES):
         blkQ *= 2
     while blkQ >= s:
         nQB = -(-Q // blkQ)
