@@ -163,11 +163,57 @@ def test_fits_gate_recipe_and_fallback_shapes():
     be rejected rather than crash."""
     from vlgae_tpu.ops.match_pallas import match_maxes_fits
 
-    assert match_maxes_fits(64, 703, 130, 64, 101)   # exp=vlgae scale
-    assert match_maxes_fits(64, 739, 130, 64, 129)   # len-64 stretch
-    assert match_maxes_fits(64, 703, 130, 64, 91)    # len-45 soak (Q~91)
+    assert match_maxes_fits(64, 703, 128, 64, 101)   # exp=vlgae scale
+    assert match_maxes_fits(64, 739, 128, 64, 129)   # len-64 stretch
+    assert match_maxes_fits(64, 703, 128, 64, 91)    # len-45 soak (Q~91)
+    assert match_maxes_fits(64, 703, 130, 64, 101)   # legacy folded dim
     assert not match_maxes_fits(2, 8, 4, 0, 5)       # empty batch
     assert not match_maxes_fits(2, 8, 4, 101, 5)     # B=101: s=128 > cap
+
+
+@pytest.mark.parametrize("An,Vn,Bn,Qn,Dn", [
+    (3, 10, 4, 5, 7),      # single block
+    (2, 37, 8, 101, 10),   # recipe Q: multiple q-blocks, masked tail
+])
+def test_bias_operands_match_numpy(An, Vn, Bn, Qn, Dn):
+    """The production layout: raw features + [A,V]/[B,Q] additive -1e9
+    mask biases as kernel operands (instead of folded feature columns).
+    Values must equal the post-product bias add exactly; the backward
+    routes to the biased argmax winner and returns zero bias grads."""
+    rng = np.random.default_rng(Qn * 7 + Vn)
+    vis = jnp.asarray(
+        rng.integers(-8, 9, (An, Vn, Dn)).astype(np.float32) * 0.25)
+    txt = jnp.asarray(
+        rng.integers(-8, 9, (Bn, Qn, Dn)).astype(np.float32) * 0.25)
+    INF = 1e9
+    vmask = rng.random((An, Vn)) < 0.8
+    vmask[:, 0] = True                       # at least one live factor
+    tmask = rng.random((Bn, Qn)) < 0.8
+    tmask[:, 0] = True
+    vb = jnp.asarray(-INF * (1.0 - vmask), jnp.float32)
+    tb = jnp.asarray(-INF * (1.0 - tmask), jnp.float32)
+    wm = jnp.asarray(rng.integers(-8, 9, (Bn, An, Qn)) * 0.25, jnp.float32)
+    wmv = jnp.asarray(rng.integers(-8, 9, (Bn, An, Vn)) * 0.25, jnp.float32)
+
+    def loss(v, t, vbias, tbias):
+        m, mv = match_maxes_pallas(v, t, True, vbias, tbias)
+        return jnp.sum(m * wm) + jnp.sum(mv * wmv), (m, mv)
+
+    (_, (m, mv)), (dvis, dtxt, dvb, dtb) = jax.value_and_grad(
+        loss, argnums=(0, 1, 2, 3), has_aux=True)(vis, txt, vb, tb)
+
+    att = (np.einsum("avd,bqd->baqv", np.asarray(vis), np.asarray(txt))
+           + np.asarray(vb)[None, :, None, :]
+           + np.asarray(tb)[:, None, :, None]).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(m), att.max(-1))
+    np.testing.assert_array_equal(np.asarray(mv), att.max(-2))
+    want_dvis, want_dtxt = _route_one_winner(
+        att, np.asarray(wm), np.asarray(wmv), vis, txt)
+    np.testing.assert_allclose(np.asarray(dvis), want_dvis, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dtxt), want_dtxt, rtol=1e-5,
+                               atol=1e-6)
+    assert not np.any(np.asarray(dvb)) and not np.any(np.asarray(dtb))
 
 
 @pytest.mark.slow

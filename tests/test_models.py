@@ -811,9 +811,13 @@ def test_match_kernel_auto_defers_to_gspmd_on_data_mesh(monkeypatch):
 
     calls = []
 
-    def stub(vis_b, txt_b, interpret):
+    def stub(vis_b, txt_b, interpret, vis_bias=None, txt_bias=None):
         calls.append(1)
         att = jnp.einsum("avd,bqd->baqv", vis_b, txt_b)
+        if vis_bias is not None:
+            att = att + vis_bias[None, :, None, :]
+        if txt_bias is not None:
+            att = att + txt_bias[:, None, :, None]
         return (jnp.max(att, -1).astype(jnp.float32),
                 jnp.max(att, -2).astype(jnp.float32))
 

@@ -469,10 +469,13 @@ class DependencyBoxRel(fnn.Module):
         [B_txt, B_img, Q, V] attention map.
 
         The profile shows the full-map materialization (plus its mask
-        and penalty passes) dominates the train step, so here the
-        vis/txt masks are FOLDED INTO the matmul via two extra feature
-        dims (a masked row/column contributes a -INF bias through the
-        dot product), and the map is max-reduced immediately:
+        and penalty passes) dominates the train step, so the map is
+        max-reduced immediately and the vis/txt masks enter as -INF
+        biases: additive [B,V]/[B,Q] bias OPERANDS on the fused-kernel
+        paths (keeping the MXU contraction at the raw feature width),
+        or FOLDED INTO the matmul via two extra feature dims on the
+        XLA einsum/chunk paths (a masked row/column contributes its
+        bias through the dot product):
             logit[b,a,q]   = max_v att(b,a,q,v)
             logit_v[b,a,v] = max_q att(b,a,q,v)
         The POS-prior penalty only touches the diagonal (own-image)
@@ -500,22 +503,16 @@ class DependencyBoxRel(fnn.Module):
         dt = jnp.bfloat16 if self.cfg.bf16_matmul else jnp.float32
         B, V = vis_mask.shape
         Q = txt_mask.shape[1]
-        ones_v = jnp.ones((B, V, 1), dt)
-        ones_q = jnp.ones((B, Q, 1), dt)
-        vis_b = jnp.concatenate(
-            [vis_feat.astype(dt),
-             (-INF * (1.0 - vis_mask[..., None])).astype(dt), ones_v], -1
-        )
-        txt_b = jnp.concatenate(
-            [txt_feat.astype(dt), ones_q,
-             (-INF * (1.0 - txt_mask[..., None])).astype(dt)], -1
-        )
         # Three formulations (see train_match_chunk's measured verdict):
         # the fused Pallas kernel (per-image GEMM + maxes in VMEM,
         # argmax-routed backward — no [B,A,Q,V] tensor in either pass),
         # the single einsum + maxes (XLA autodiff), and a factor-chunked
-        # stream kept for larger factor counts.
-        D2 = vis_b.shape[-1]
+        # stream kept for larger factor counts. The kernel takes the
+        # -INF visibility masks as ADDITIVE BIAS OPERANDS so the MXU
+        # contracts the raw feature width (128 -> one lane tile); the
+        # XLA paths fold them into two extra feature dims instead (a
+        # masked row/column contributes its bias through the product).
+        D_feat = vis_feat.shape[-1]
         CH = self.cfg.train_match_chunk
         mk = self.cfg.match_kernel
         from ..ops import data_parallel_degree, pallas_available
@@ -527,15 +524,24 @@ class DependencyBoxRel(fnn.Module):
         )
 
         on_tpu = pallas_available()
+
+        def _biases():
+            # masks are data, not parameters — the kernel returns zero
+            # bias grads by contract, make that explicit here
+            vb = jax.lax.stop_gradient(-INF * (1.0 - vis_mask))
+            tb = jax.lax.stop_gradient(-INF * (1.0 - txt_mask))
+            return vb.astype(jnp.float32), tb.astype(jnp.float32)
+
         # explicit sharded prototype: local text shard x all-gathered
         # vis factors (one gather per step instead of GSPMD replicating
         # the opaque kernel); reduces to the plain kernel on one chip
         if mk == "pallas_sharded" and CH <= 0 and match_maxes_sharded_fits(
-            vis_b.shape[0], vis_b.shape[1], D2,
-            txt_b.shape[0], txt_b.shape[1],
+            B, V, D_feat, B, Q,
         ):
+            vb, tb = _biases()
             logit, logit_v = match_maxes_pallas_sharded(
-                vis_b, txt_b, not on_tpu
+                vis_feat.astype(dt), txt_feat.astype(dt), not on_tpu,
+                vb, tb,
             )
             return logit, self._expand_rel_tri(logit_v, maps)
         # auto: the kernel wins single-chip, but it is opaque to GSPMD —
@@ -552,15 +558,26 @@ class DependencyBoxRel(fnn.Module):
         # einsum when no legal q-block keeps the kernel inside VMEM
         # (e.g. word+alldep's (L+1)^2 queries, odd tiny batches). The
         # paper recipe's len-50 shapes (Q ~ 101) fit via q-blocking.
-        use_pallas = use_pallas and match_maxes_fits(
-            vis_b.shape[0], vis_b.shape[1], D2,
-            txt_b.shape[0], txt_b.shape[1],
-        )
+        use_pallas = use_pallas and match_maxes_fits(B, V, D_feat, B, Q)
         if use_pallas and CH <= 0:
+            vb, tb = _biases()
             logit, logit_v = match_maxes_pallas(
-                vis_b, txt_b, not on_tpu  # interpret off-TPU (tests)
+                vis_feat.astype(dt), txt_feat.astype(dt),
+                not on_tpu,  # interpret off-TPU (tests)
+                vb, tb,
             )
             return logit, self._expand_rel_tri(logit_v, maps)
+        ones_v = jnp.ones((B, V, 1), dt)
+        ones_q = jnp.ones((B, Q, 1), dt)
+        vis_b = jnp.concatenate(
+            [vis_feat.astype(dt),
+             (-INF * (1.0 - vis_mask[..., None])).astype(dt), ones_v], -1
+        )
+        txt_b = jnp.concatenate(
+            [txt_feat.astype(dt), ones_q,
+             (-INF * (1.0 - txt_mask[..., None])).astype(dt)], -1
+        )
+        D2 = vis_b.shape[-1]
         if CH <= 0:
             att = jnp.einsum("avd,bqd->baqv", vis_b, txt_b)
             logit = jnp.max(att, axis=-1).astype(jnp.float32)

@@ -3,7 +3,8 @@
 The training-path grounding loss needs only the two max-reductions of
 the pairwise matching product (ref: src/model/joint.py:406-499)
 
-    att[b, a, q, v] = txt_b[b, q, :] . vis_b[a, v, :]
+    att[b, a, q, v] = txt_b[b, q, :] . vis_b[a, v, :] + vbias[a, v]
+                      + tbias[b, q]
     logit[b, a, q]   = max_v att      (text -> vision CE)
     logit_v[b, a, v] = max_q att      (vision -> text CE)
 
@@ -15,23 +16,31 @@ txt_blk^T`` ([V, blkQ*B], a few MB) lives only in VMEM: one MXU GEMM
 per grid step, both maxes reduced in-register, only the [.., Q] /
 [.., V] maxima (plus int32 argmax indices) reach HBM.
 
+The -1e9 visibility masks enter as ADDITIVE BIAS OPERANDS ([A, V] and
+[B, Q] f32, broadcast-added to the product slab in VMEM) rather than
+as extra feature columns: folding them into the contraction (the
+round-3 design) pushed the feature dim from 128 to 130, which the MXU
+pads to 256 lanes — twice the necessary FLOPs in the forward and both
+backward GEMMs. The bias layout also absorbs the padding masks: bias
+rows/lanes beyond the real V/Q are -inf, so padded slots can never win
+a max and the kernel needs no separate iota masking passes.
+
 The grid is (A, n_qblocks): queries are processed in static power-of-
-two blocks of at most ``_MAX_BLK_Q`` q's (the tail block is masked by a
-runtime global-q bound), so the kernel admits arbitrary Q — in
-particular the paper recipe's len-50 joint shapes (Q = 1 + L + L ~ 101)
-that the round-3 kernel's whole-Q unroll excluded. The per-block
-(max, argmax)-over-q runs as a halving TREE over the lane axis
-(log2 full-width VPU selects, ties broken on the carried q index)
-instead of a blkQ-long sequential carry of half-lane updates. The tree
-stops at the last level whose half-slices stay lane-tile (128)
-aligned — Mosaic's extract_strided_slice SIGABRTs on sub-128-lane
-slices of shrunken values (v5e, "Check failed: limits[i] <= dim(i)") —
-so the kernel carries a [V, stopW*B] candidate block (strict-greater
-folds across revisited q-blocks keep the first winner) and the final
-fold across the stopW surviving lane groups runs caller-side in XLA
-(max value, ties to the smallest global q: each candidate already
-holds the first winner of its subtree x blocks, so the composition is
-exactly the sequential first-winner semantics).
+two blocks of at most ``_MAX_BLK_Q`` q's, so the kernel admits
+arbitrary Q — in particular the paper recipe's len-50 joint shapes
+(Q = 1 + L + L ~ 101) that the round-3 kernel's whole-Q unroll
+excluded. The per-block (max, argmax)-over-q runs as a halving TREE
+over the lane axis (log2 full-width VPU selects, ties broken on the
+carried q index) instead of a blkQ-long sequential carry of half-lane
+updates. The tree stops at the last level whose half-slices stay
+lane-tile (128) aligned — Mosaic's extract_strided_slice SIGABRTs on
+sub-128-lane slices of shrunken values (v5e, "Check failed:
+limits[i] <= dim(i)") — so the kernel carries a [V, stopW*B] candidate
+block (strict-greater folds across revisited q-blocks keep the first
+winner) and the final fold across the stopW surviving lane groups runs
+caller-side in XLA (max value, ties to the smallest global q: each
+candidate already holds the first winner of its subtree x blocks, so
+the composition is exactly the sequential first-winner semantics).
 
 The backward is argmax-routed from the saved indices (the one-winner
 subgradient of torch's ``.max()``, which the reference relies on — XLA's
@@ -40,11 +49,13 @@ sparse [V, blkQ*B] matrix W and both gradients are two more MXU GEMMs
 per step (``dvis_a += W @ txt_blk``, accumulated over q-blocks;
 ``dtxt[qblock] += W^T @ vis_a``, accumulated over images into a
 VMEM-resident full [Qpad*B, D] block) — no [B,A,Q,V] tensor exists in
-either pass.
+either pass. The biases shift every candidate of a (b, a, q) row (or
+(b, a, v) column) equally, so they never change the winner routing and
+the backward takes no bias operands; bias gradients are zero (masks
+are data, not parameters — callers pass them under stop_gradient).
 
 Compute dtype is bf16 with f32 accumulation (matching the XLA path's
-``bf16_matmul``); masks are folded into the feature dimension by the
-caller exactly as in the XLA path.
+``bf16_matmul``).
 """
 
 from __future__ import annotations
@@ -84,6 +95,8 @@ _MAX_BLK_Q = int(os.environ.get("VLGAE_MATCH_MAX_BLK_Q", "64"))
 # blocks cut tail padding and tree depth, but below ~4 lane-tiles the
 # extra grid steps win. Override for re-derivation on other parts.
 _TARGET_BLK_LANES = int(os.environ.get("VLGAE_MATCH_BLK_LANES", "512"))
+
+_NEG = float("-inf")
 
 
 def _stop_width(blkQ, B):
@@ -130,9 +143,12 @@ def _plan(V, D, B, Q):
         Lpad = nQB * blkQ * B
         blkL = blkQ * B
         cw = _stop_width(blkQ, B) * B    # carried candidate-block lanes
-        # double-buffered blocks + single-buffered temporaries/full blocks
+        # double-buffered blocks + single-buffered temporaries/full
+        # blocks. Bias blocks: visb [Vp, 1] tiles to Vp*128 lanes f32,
+        # txtb [1, blkL] tiles to 8 sublanes.
         fwd = (
-            2 * (Dp * blkL * 2 + Vp * Dp * 2 + 2 * blkL * 4 + 2 * Vp * cw * 4)
+            2 * (Dp * blkL * 2 + Vp * Dp * 2 + 2 * blkL * 4 + 2 * Vp * cw * 4
+                 + Vp * 128 * 4 + 8 * blkL * 4)
             + Vp * blkL * 4
         )
         bwd = (
@@ -150,27 +166,31 @@ def _plan(V, D, B, Q):
 
 def match_maxes_fits(A, V, D, B, Q) -> bool:
     """Whether the fused kernel is applicable at this shape (callers
-    fall back to the XLA einsum path otherwise)."""
+    fall back to the XLA einsum path otherwise). ``D`` is the
+    CONTRACTION dim: the raw match-feature width when biases ride the
+    bias operands (the production path), or features+2 when masks are
+    folded into the features (the legacy/einsum layout)."""
     return _plan(V, D, B, Q) is not None
 
 
-def _fwd_kernel(blkQ, B, V, Q, Vp, txtT_ref, vis_ref,
+def _fwd_kernel(blkQ, B, Vp, txtT_ref, vis_ref, visb_ref, txtb_ref,
                 m_ref, im_ref, mv_ref, iv_ref):
-    """Grid step = (image a, q-block j): att = vis_a @ txt_blk^T,
-    max/argmax over v per lane, running max/argmax over global q."""
+    """Grid step = (image a, q-block j): att = vis_a @ txt_blk^T + vb
+    + tb, max/argmax over v per lane, running max/argmax over global q.
+
+    Padded v rows carry vb = -inf and padded tail-q lanes carry
+    tb = -inf, so neither can win a max — no iota masking passes."""
     j = pl.program_id(1)
     vis_a = vis_ref[0]                      # [Vp, Dp] bf16
     att = lax.dot_general(
         vis_a, txtT_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                        # [Vp, blkQ*B] f32
-    # zero-padded factor rows must never win a max (real scores can be
-    # negative, and masked columns sit near the caller's -INF bias)
-    iota_v = lax.broadcasted_iota(jnp.int32, att.shape, 0)
-    att = jnp.where(iota_v < V, att, -jnp.inf)
+    att = att + visb_ref[0] + txtb_ref[0, :][None, :]
 
-    # max/first-argmax over v (sublane axis); garbage at padded-q lanes
+    # max/first-argmax over v (sublane axis); -inf at padded-q lanes
     # in the tail block — the caller slices them away
+    iota_v = lax.broadcasted_iota(jnp.int32, att.shape, 0)
     m = jnp.max(att, axis=0)                 # [blkQ*B]
     im = jnp.min(jnp.where(att == m[None, :], iota_v, Vp), axis=0)
     m_ref[0, 0, :] = m
@@ -194,9 +214,7 @@ def _fwd_kernel(blkQ, B, V, Q, Vp, txtT_ref, vis_ref,
     # _stop_width); the final fold over the sw surviving lane groups
     # happens caller-side in XLA.
     lane_q = lax.broadcasted_iota(jnp.int32, att.shape, 1) // B
-    # mask padded tail q's BEFORE the tree (their att rows are txt-pad
-    # zeros, which could beat real negative scores)
-    cur = jnp.where(j * blkQ + lane_q < Q, att, -jnp.inf)
+    cur = att
     idx = lane_q
     width = blkQ
     first = True
@@ -301,7 +319,23 @@ def _pad_inputs(vis_b, txt_b, plan):
     return vis, txtT, Lpad
 
 
-def _fwd_impl(vis_b, txt_b, interpret):
+def _pad_biases(vis_bias, txt_bias, plan, Lpad):
+    """[A, V] / [B, Q] biases -> [A, Vp, 1] / [1, Lpad] kernel layouts.
+    Padded v rows and padded tail-q lanes are -inf: they carry the
+    kernel's internal padding masks (padded slots can never win)."""
+    A, V = vis_bias.shape
+    B, Q = txt_bias.shape
+    _, _, Vp, _ = plan
+    vb = jnp.pad(vis_bias.astype(jnp.float32), [(0, 0), (0, Vp - V)],
+                 constant_values=_NEG)[:, :, None]
+    tb = jnp.pad(
+        txt_bias.astype(jnp.float32).transpose(1, 0).reshape(1, Q * B),
+        [(0, 0), (0, Lpad - Q * B)], constant_values=_NEG,
+    )
+    return vb, tb
+
+
+def _fwd_impl(vis_b, txt_b, vis_bias, txt_bias, interpret):
     A, V, D = vis_b.shape
     B, Q, _ = txt_b.shape
     plan = _plan(V, D, B, Q)
@@ -312,9 +346,10 @@ def _fwd_impl(vis_b, txt_b, interpret):
         )
     blkQ, nQB, Vp, Dp = plan
     vis, txtT, Lpad = _pad_inputs(vis_b, txt_b, plan)
+    vb, tb = _pad_biases(vis_bias, txt_bias, plan, Lpad)
     blkL = blkQ * B
     cw = _stop_width(blkQ, B) * B           # candidate-block lanes
-    kernel = functools.partial(_fwd_kernel, blkQ, B, V, Q, Vp)
+    kernel = functools.partial(_fwd_kernel, blkQ, B, Vp)
     m, im, mv, iv = pl.pallas_call(
         kernel,
         grid=(A, nQB),
@@ -322,6 +357,10 @@ def _fwd_impl(vis_b, txt_b, interpret):
             pl.BlockSpec((Dp, blkL), lambda a, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Vp, Dp), lambda a, j: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp, 1), lambda a, j: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blkL), lambda a, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -350,7 +389,7 @@ def _fwd_impl(vis_b, txt_b, interpret):
             + A * (2 * Lpad + 2 * Vp * cw) * 4,
             transcendentals=0,
         ),
-    )(txtT, vis)
+    )(txtT, vis, vb, tb)
     # final fold over the stopW surviving lane groups (lane = g*B + b;
     # each candidate is the first winner of its subtree x blocks, so
     # max value + smallest-q tie-break composes to the exact global
@@ -371,16 +410,16 @@ def _fwd_impl(vis_b, txt_b, interpret):
     return logit, logit_v, (im, iv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def match_maxes_pallas(vis_b, txt_b, interpret=False):
-    """(logit [B,A,Q], logit_v [B,A,V]) of the pairwise matching product,
-    fused in VMEM with a one-winner argmax-routed backward."""
-    logit, logit_v, _ = _fwd_impl(vis_b, txt_b, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _match_maxes_core(vis_b, txt_b, vis_bias, txt_bias, interpret):
+    logit, logit_v, _ = _fwd_impl(vis_b, txt_b, vis_bias, txt_bias,
+                                  interpret)
     return logit, logit_v
 
 
-def _match_fwd(vis_b, txt_b, interpret):
-    logit, logit_v, (im, iv) = _fwd_impl(vis_b, txt_b, interpret)
+def _match_fwd(vis_b, txt_b, vis_bias, txt_bias, interpret):
+    logit, logit_v, (im, iv) = _fwd_impl(vis_b, txt_b, vis_bias,
+                                         txt_bias, interpret)
     return (logit, logit_v), (vis_b, txt_b, im, iv)
 
 
@@ -442,10 +481,27 @@ def _match_bwd(interpret, res, g):
         dtxt2d[:Q * B, :D].reshape(Q, B, D).transpose(1, 0, 2)
         .astype(txt_b.dtype)
     )
-    return dvis_out, dtxt_out
+    # masks are data, not parameters: bias grads are zero by contract
+    # (callers pass mask-derived biases under stop_gradient)
+    return (dvis_out, dtxt_out, jnp.zeros((A, V), jnp.float32),
+            jnp.zeros((B, Q), jnp.float32))
 
 
-match_maxes_pallas.defvjp(_match_fwd, _match_bwd)
+_match_maxes_core.defvjp(_match_fwd, _match_bwd)
+
+
+def match_maxes_pallas(vis_b, txt_b, interpret=False, vis_bias=None,
+                       txt_bias=None):
+    """(logit [B,A,Q], logit_v [B,A,V]) of the pairwise matching product
+    plus optional [A,V] / [B,Q] additive biases (the -1e9 visibility
+    masks), fused in VMEM with a one-winner argmax-routed backward."""
+    A, V, _ = vis_b.shape
+    B, Q, _ = txt_b.shape
+    if vis_bias is None:
+        vis_bias = jnp.zeros((A, V), jnp.float32)
+    if txt_bias is None:
+        txt_bias = jnp.zeros((B, Q), jnp.float32)
+    return _match_maxes_core(vis_b, txt_b, vis_bias, txt_bias, interpret)
 
 
 def match_maxes_sharded_fits(A, V, D, B, Q) -> bool:
@@ -461,25 +517,27 @@ def match_maxes_sharded_fits(A, V, D, B, Q) -> bool:
             and _plan(V, D, B // dpd, Q) is not None)
 
 
-def match_maxes_pallas_sharded(vis_b, txt_b, interpret=False):
+def match_maxes_pallas_sharded(vis_b, txt_b, interpret=False,
+                               vis_bias=None, txt_bias=None):
     """Data-sharded fused matching (``match_kernel='pallas_sharded'``).
 
     The contrastive grounding loss is cross-batch global — every text
     row scores against every image (ref: src/model/joint.py:439-499) —
     so a plain pallas_call is opaque to GSPMD and would be replicated
     on every chip of a data mesh. Here each shard keeps its LOCAL text
-    block and all-gathers only the visual factor tensor ([A, V, D],
-    the far smaller side at recipe scale: V*D floats per image vs
-    B*Q*D text lanes per shard), runs the fused kernel at (full A,
-    local B), and emits [B_local, A, *] blocks — the cross-batch
-    product is partitioned over the text batch with ONE gather per
-    step instead of full replication. The backward transposes the
-    gather into a reduce-scatter of ``dvis`` automatically.
+    block and all-gathers only the visual factor tensor ([A, V, D] and
+    its [A, V] bias, the far smaller side at recipe scale: V*D floats
+    per image vs B*Q*D text lanes per shard), runs the fused kernel at
+    (full A, local B), and emits [B_local, A, *] blocks — the
+    cross-batch product is partitioned over the text batch with ONE
+    gather per step instead of full replication. The backward
+    transposes the gather into a reduce-scatter of ``dvis``
+    automatically.
 
     Single-chip (or no registered mesh) this reduces to
     :func:`match_maxes_pallas` exactly. Expected multi-chip crossover:
     the all-gathered vis bytes must amortize against the B^2 product —
-    at the recipe shape (A=B=64, V=703, D=130) the gather is ~180KB/chip
+    at the recipe shape (A=B=64, V=703, D=128) the gather is ~180KB/chip
     vs a ~47ms single-chip einsum step, so ICI cost is negligible; the
     single-chip A/B (scripts/match_kernel_ab.py) carries the kernel-vs-
     einsum baseline, and the perf verdict on real multi-chip hardware is
@@ -492,7 +550,8 @@ def match_maxes_pallas_sharded(vis_b, txt_b, interpret=False):
     mesh = _dp._DATA_MESH
     dpd = _dp.data_parallel_degree()
     if dpd <= 1:
-        return match_maxes_pallas(vis_b, txt_b, interpret)
+        return match_maxes_pallas(vis_b, txt_b, interpret, vis_bias,
+                                  txt_bias)
     A = vis_b.shape[0]
     B = txt_b.shape[0]
     if A % dpd or B % dpd:
@@ -501,13 +560,19 @@ def match_maxes_pallas_sharded(vis_b, txt_b, interpret=False):
             f"split over the {dpd}-way data mesh; gate with "
             f"match_maxes_sharded_fits"
         )
+    if vis_bias is None:
+        vis_bias = jnp.zeros((A, vis_b.shape[1]), jnp.float32)
+    if txt_bias is None:
+        txt_bias = jnp.zeros((B, txt_b.shape[1]), jnp.float32)
 
-    def local(vis_l, txt_l):
+    def local(vis_l, visb_l, txt_l, txtb_l):
         vis_full = lax.all_gather(vis_l, "data", axis=0, tiled=True)
-        return match_maxes_pallas(vis_full, txt_l, interpret)
+        visb_full = lax.all_gather(visb_l, "data", axis=0, tiled=True)
+        return match_maxes_pallas(vis_full, txt_l, interpret, visb_full,
+                                  txtb_l)
 
     spec = PartitionSpec("data")
     return jax.shard_map(
-        local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec),
-        check_vma=False,
-    )(vis_b, txt_b)
+        local, mesh=mesh, in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec), check_vma=False,
+    )(vis_b, vis_bias, txt_b, txt_bias)
