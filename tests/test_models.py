@@ -240,6 +240,49 @@ def test_joint_loss_and_grads(joint_setup):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("viterbi", [True, False])
+def test_dep_loss_reuse_matches_fresh_dp(joint_setup, viterbi):
+    """The joint model's language factors already run the chart DP on
+    stop-gradded copies of the loss's potentials; loss_nll reuses their
+    totals/grad tables through a straight-through linearization
+    (out['dep_reuse']) instead of launching a third DP. Value and
+    parameter gradients must match the fresh-DP formulation, and the
+    decode short-circuit must return identical heads."""
+    model, params, inputs, out = joint_setup
+    assert "dep_reuse" in out
+    assert "max" in out["dep_reuse"] and "log" in out["dep_reuse"]
+
+    def total(p, reuse):
+        o = model.apply(p, inputs)
+        if not reuse:
+            o = {k: v for k, v in o.items() if k != "dep_reuse"}
+        dep_loss, _ = loss_nll(o, inputs["seq_len"], viterbi=viterbi)
+        return dep_loss
+
+    v_re, g_re = jax.value_and_grad(total)(params, True)
+    v_fr, g_fr = jax.value_and_grad(total)(params, False)
+    np.testing.assert_allclose(float(v_re), float(v_fr),
+                               rtol=1e-6, atol=1e-6)
+    fl_re = jax.tree_util.tree_leaves_with_path(g_re)
+    fl_fr = jax.tree_util.tree_leaves_with_path(g_fr)
+    assert len(fl_re) == len(fl_fr)
+    for (k1, a), (k2, b) in zip(fl_re, fl_fr):
+        assert k1 == k2
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(k1),
+        )
+
+    out_fresh = {k: v for k, v in out.items() if k != "dep_reuse"}
+    for mbr in (False, True):
+        h_re = np.asarray(ldndmv_decode(out, inputs["seq_len"], mbr=mbr))
+        h_fr = np.asarray(
+            ldndmv_decode(out_fresh, inputs["seq_len"], mbr=mbr)
+        )
+        np.testing.assert_array_equal(h_re, h_fr)
+
+
+@pytest.mark.slow
 def test_joint_decode_grounding(joint_setup):
     model, params, inputs, out = joint_setup
     dec = model.apply(

@@ -24,7 +24,7 @@ from jax import lax
 from flax import linen as fnn
 
 from ..struct import DMV1o
-from ..struct.distributions import dmv_grads_fast
+from ..struct.distributions import dmv_value_and_grads_fast
 from .ldndmv import DiscriminativeNDMV, LDNDMVConfig
 from .nn import MLP
 
@@ -352,7 +352,7 @@ class DependencyBoxRel(fnn.Module):
         q_mask = jnp.concatenate([jnp.zeros((B, 1), bool), mask], 1)
         x = self._root_prepended(encoded["x"], mask, inputs["seq_len"])
         word_repr = self.word_encoder(x, deterministic=deterministic)
-        return word_repr, q_mask, q_mask.astype(jnp.float32)
+        return word_repr, q_mask, q_mask.astype(jnp.float32), None
 
     def lang_feat_max_tree(self, inputs, encoded, lang_score, mask,
                            deterministic):
@@ -365,10 +365,21 @@ class DependencyBoxRel(fnn.Module):
         mdec = jax.lax.stop_gradient(lang_score["merged_dec"])
         mattach = jax.lax.stop_gradient(lang_score["merged_attach"])
         lengths = inputs["seq_len"]
-        _, marg = dmv_grads_fast(mdec, mattach, lengths, "log")
+        # one fused pass each: the per-sentence totals come out of the
+        # SAME kernel launch as the grad tables, so the dependency loss
+        # (ref: ldndmv.py:277-281 runs its own DP on the attached
+        # potentials) can reuse them through loss_nll's straight-through
+        # linearization instead of launching a third chart DP
+        vlog, gd_log, marg = dmv_value_and_grads_fast(
+            mdec, mattach, lengths, "log"
+        )
         arc_margin = marg.sum(-1)  # [B, L+1, L+1]
-        _, ind = dmv_grads_fast(mdec, mattach, lengths, "max")
-        ind = ind.sum(-1)
+        vmax, gd_max, ga_max = dmv_value_and_grads_fast(
+            mdec, mattach, lengths, "max"
+        )
+        dep_reuse = {"log": (vlog, gd_log, marg),
+                     "max": (vmax, gd_max, ga_max)}
+        ind = ga_max.sum(-1)
         predicted = jnp.concatenate(
             [jnp.zeros((B, 1), jnp.int32),
              jnp.argmax(ind[:, :, 1:], axis=1).astype(jnp.int32)], 1
@@ -407,7 +418,7 @@ class DependencyBoxRel(fnn.Module):
             + self.arc_encoder_b
         )
         txt = jnp.concatenate([word_repr, arc_repr], axis=1)
-        return txt, txt_mask, txt_marginal
+        return txt, txt_mask, txt_marginal, dep_reuse
 
     def lang_feat_all_arc(self, inputs, encoded, lang_score, mask,
                           deterministic):
@@ -429,7 +440,10 @@ class DependencyBoxRel(fnn.Module):
 
         mdec = jax.lax.stop_gradient(lang_score["merged_dec"])
         mattach = jax.lax.stop_gradient(lang_score["merged_attach"])
-        _, marg = dmv_grads_fast(mdec, mattach, inputs["seq_len"], "log")
+        vlog, gd_log, marg = dmv_value_and_grads_fast(
+            mdec, mattach, inputs["seq_len"], "log"
+        )
+        dep_reuse = {"log": (vlog, gd_log, marg)}
         arc_margin = marg.sum(-1).reshape(B, -1)  # [B, N*N] head-major
         txt_marginal = jnp.concatenate(
             [q_mask.astype(arc_margin.dtype), arc_margin], 1
@@ -448,7 +462,7 @@ class DependencyBoxRel(fnn.Module):
             + self.arc_encoder_b
         ).reshape(B, N * N, -1)
         txt = jnp.concatenate([word_repr, arc_repr], axis=1)
-        return txt, txt_mask, txt_marginal
+        return txt, txt_mask, txt_marginal, dep_reuse
 
     def lang_feat(self, inputs, encoded, lang_score, mask, deterministic):
         if self.cfg.language_factor_mode == "word":
@@ -499,7 +513,7 @@ class DependencyBoxRel(fnn.Module):
             keep, _ = maps
             vis_feat = vis_feat[:, keep]
             vis_mask = vis_mask[:, keep]
-        txt_feat, txt_mask, txt_marginal = txt
+        txt_feat, txt_mask, txt_marginal = txt[:3]
         dt = jnp.bfloat16 if self.cfg.bf16_matmul else jnp.float32
         B, V = vis_mask.shape
         Q = txt_mask.shape[1]
@@ -653,7 +667,7 @@ class DependencyBoxRel(fnn.Module):
         """Own-image [B, Q, V] matching block (f32), with masks and the
         POS-prior penalty (ref: joint.py:444-471) applied."""
         vis_feat, vis_mask, vis_split = out["vis_packed"][:3]
-        txt_feat, txt_mask, _ = out["txt_packed"]
+        txt_feat, txt_mask, _ = out["txt_packed"][:3]
         att = jnp.einsum(
             "bvd,bqd->bqv",
             vis_feat.astype(jnp.float32), txt_feat.astype(jnp.float32),
@@ -667,7 +681,7 @@ class DependencyBoxRel(fnn.Module):
     # -- gather_logit (ref: joint.py:406-432) --------------------------------
     def gather_logit(self, vis, txt):
         vis_feat, vis_mask, _ = vis[:3]
-        txt_feat, txt_mask, txt_marginal = txt
+        txt_feat, txt_mask, txt_marginal = txt[:3]
         if self.cfg.bf16_matmul:
             attmap = jnp.einsum(
                 "avd,bqd->baqv",
@@ -752,10 +766,16 @@ class DependencyBoxRel(fnn.Module):
         out = dict(lang_score)
         if has_vis:
             vis = self.vis_feat(inputs, vis_encoded)
-            txt = self.lang_feat(
+            *txt, dep_reuse = self.lang_feat(
                 inputs, encoded, lang_score, mask, deterministic
             )
+            txt = tuple(txt)
             out.update({"vis_packed": vis, "txt_packed": txt})
+            if dep_reuse is not None:
+                # per-sentence DP totals + grad tables from lang_feat's
+                # fused passes; loss_nll and decode reuse them instead
+                # of re-running the identical chart DP
+                out["dep_reuse"] = dep_reuse
             if (not deterministic
                     and cfg.gather_logit_mode == "simple"
                     and cfg.loss_grounding_mode == "factor|ce"):
@@ -814,7 +834,7 @@ class DependencyBoxRel(fnn.Module):
         eval/strategy paths reduce the full attention map as before.
         """
         cfg = self.cfg
-        txt_feat, txt_mask, txt_marginal = out["txt_packed"]
+        txt_feat, txt_mask, txt_marginal = out["txt_packed"][:3]
         vis_feat, vis_mask, vis_split = out["vis_packed"][:3]
         if out.get("match_reduced") is not None:
             logit, logit_v = out["match_reduced"]

@@ -295,9 +295,37 @@ def loss_nll(scores, lengths, viterbi: bool):
 
     Zero-length rows (batch padding for device/compile-shape rounding)
     are masked out.
+
+    When the joint model's language factors already ran the identical
+    chart DP on (stop-gradded copies of) the same potentials
+    (ref: joint.py:251-258), ``scores['dep_reuse']`` carries the
+    per-sentence totals and grad tables from that fused pass, and the
+    loss is rebuilt as a straight-through linearization around them:
+    value = the reused total (bit-identical: same kernel, same
+    operand values), gradient w.r.t. the potentials = the reused grad
+    tables (exactly what autodiff of the DP would produce) — deleting
+    one full fused chart-DP launch from every joint train step.
     """
-    dist = DMV1o((scores["merged_dec"], scores["merged_attach"]), lengths)
-    total = dist.max if viterbi else dist.partition
+    md, ma = scores["merged_dec"], scores["merged_attach"]
+    reuse = (scores.get("dep_reuse") or {}).get(
+        "max" if viterbi else "log"
+    )
+    if reuse is not None:
+        per, gd, ga = reuse
+        # (x - stop_grad(x)) is exactly 0 at runtime; its only job is
+        # to route d(loss)/d(potentials) = the reused grad tables
+        lin = (
+            ((md - jax.lax.stop_gradient(md)) * gd).sum(
+                axis=tuple(range(1, md.ndim))
+            )
+            + ((ma - jax.lax.stop_gradient(ma)) * ga).sum(
+                axis=tuple(range(1, ma.ndim))
+            )
+        )
+        total = jax.lax.stop_gradient(per) + lin
+    else:
+        dist = DMV1o((md, ma), lengths)
+        total = dist.max if viterbi else dist.partition
     nll = -jnp.where(lengths > 0, total, 0.0).sum()
     out = {"nll": nll}
     if scores.get("kl") is not None:
@@ -337,11 +365,27 @@ def loss_init_pretrained(scores, dmv_scores, lengths):
 
 
 def decode(scores, lengths, mbr: bool):
-    """Tree decode (ref: ldndmv.py:289-304). Returns heads [B, L]."""
+    """Tree decode (ref: ldndmv.py:289-304). Returns heads [B, L].
+
+    ``scores['dep_reuse']`` (the joint model's language-factor DP
+    results on the same potentials) short-circuits the DMV pass: the
+    marginal/indicator tables are bit-identical to what the fresh DP
+    would produce, so MBR reuses the marginals and Viterbi reuses the
+    argmax indicators directly."""
+    reuse = scores.get("dep_reuse") or {}
+    if mbr:
+        r = reuse.get("log")
+        if r is not None:
+            arc = r[2].sum(-1)
+        else:
+            mdec = jax.lax.stop_gradient(scores["merged_dec"])
+            mattach = jax.lax.stop_gradient(scores["merged_attach"])
+            arc = DMV1o((mdec, mattach), lengths).marginals.sum(-1)
+        return DependencyCRF(arc, lengths).argmax_heads
+    r = reuse.get("max")
+    if r is not None:
+        ind = r[2].sum(-1)  # [B, N1, N1] arc indicators
+        return jnp.argmax(ind[:, :, 1:], axis=1)
     mdec = jax.lax.stop_gradient(scores["merged_dec"])
     mattach = jax.lax.stop_gradient(scores["merged_attach"])
-    dist = DMV1o((mdec, mattach), lengths)
-    if mbr:
-        arc = dist.marginals.sum(-1)
-        return DependencyCRF(arc, lengths).argmax_heads
-    return dist.argmax_heads
+    return DMV1o((mdec, mattach), lengths).argmax_heads

@@ -86,6 +86,27 @@ def dmv_grads_fast(dec, attach, lengths, kind: str = "log"):
     return jax.grad(total, argnums=(0, 1))(dec, attach)
 
 
+def dmv_value_and_grads_fast(dec, attach, lengths, kind: str = "log"):
+    """Per-sentence totals AND both grad tables from ONE fused pass.
+
+    Returns ``(per_sentence [B], d/d dec, d/d attach)``. The fused TPU
+    kernel computes the forward chart and both adjoint tables in a
+    single launch, so asking for the value alongside the grads costs
+    nothing extra — callers that need totals and marginals/indicators
+    of the SAME potentials (e.g. the joint model's loss + language
+    factors, ref: src/model/joint.py:251-258 + src/model/ldndmv.py:277-281)
+    should use this once instead of two separate DP calls."""
+
+    def total(d, a):
+        per = dmv_total_fast(d, a, lengths, kind)
+        return jnp.sum(per), per
+
+    (_, per), (gd, ga) = jax.value_and_grad(
+        total, argnums=(0, 1), has_aux=True
+    )(dec, attach)
+    return per, gd, ga
+
+
 class DMV1o:
     """First-order valence DMV distribution (ref: distributions.py:245-265).
 
