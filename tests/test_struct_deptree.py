@@ -154,3 +154,88 @@ def test_topk_structures():
     for i in range(k):
         heads = np.argmax(inds[i, 0][:, 1:n + 1], axis=0)
         np.testing.assert_array_equal(heads, trees[order[i]])
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5])
+def test_multiroot_partition_matches_bruteforce(n):
+    """multiroot=True counts every projective forest rooted at 0
+    (ref: deptree.py:80-135 legacy multiroot chart)."""
+    rng = np.random.default_rng(300 + n)
+    arc, lengths = batch_arcs(rng, [n])
+    got = float(np.asarray(DependencyCRF(arc, lengths, multiroot=True).partition)[0])
+    arc_np = np.asarray(arc)[0]
+    scores = [
+        oracles.score_deptree(arc_np, h)
+        for h in oracles.all_trees(n, single_root=False)
+    ]
+    np.testing.assert_allclose(got, oracles.logsumexp(scores), rtol=1e-4)
+    # single-root is a strict subset: partition must be <= multiroot's
+    single = float(np.asarray(DependencyCRF(arc, lengths).partition)[0])
+    assert single <= got + 1e-6
+
+
+@pytest.mark.parametrize("n", [2, 3, 4])
+def test_multiroot_viterbi_and_argmax(n):
+    rng = np.random.default_rng(330 + n)
+    arc, lengths = batch_arcs(rng, [n])
+    dist = DependencyCRF(arc, lengths, multiroot=True)
+    got_max = float(np.asarray(dist.max)[0])
+    arc_np = np.asarray(arc)[0]
+    trees = list(oracles.all_trees(n, single_root=False))
+    scores = [oracles.score_deptree(arc_np, h) for h in trees]
+    np.testing.assert_allclose(got_max, max(scores), rtol=1e-4)
+    heads = np.asarray(dist.argmax_heads)[0]
+    np.testing.assert_array_equal(heads[:n], trees[int(np.argmax(scores))])
+
+
+@pytest.mark.parametrize("n", [2, 3, 4])
+def test_multiroot_marginals(n):
+    rng = np.random.default_rng(360 + n)
+    arc, lengths = batch_arcs(rng, [n])
+    got = np.asarray(DependencyCRF(arc, lengths, multiroot=True).marginals)[0]
+    arc_np = np.asarray(arc)[0]
+    trees = list(oracles.all_trees(n, single_root=False))
+    scores = np.array([oracles.score_deptree(arc_np, h) for h in trees])
+    probs = np.exp(scores - oracles.logsumexp(list(scores)))
+    want = np.zeros_like(arc_np)
+    for p, heads in zip(probs, trees):
+        for c, h in enumerate(heads):
+            want[h, c + 1] += p
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_multiroot_batched_variable_lengths():
+    rng = np.random.default_rng(390)
+    ns = [3, 1, 4, 2]
+    arc, lengths = batch_arcs(rng, ns)
+    got = np.asarray(DependencyCRF(arc, lengths, multiroot=True).partition)
+    for b, n in enumerate(ns):
+        scores = [
+            oracles.score_deptree(np.asarray(arc)[b, : n + 1, : n + 1], h)
+            for h in oracles.all_trees(n, single_root=False)
+        ]
+        np.testing.assert_allclose(got[b], oracles.logsumexp(scores), rtol=1e-4)
+
+
+def test_dmv_mapping_matches_eisner():
+    """The DMV-table construction used by the TPU fast path
+    (distributions.deptree_total_fast) must agree with the pure Eisner
+    chart; here the mapping is checked through the pure-JAX DMV fill, so
+    CPU CI pins the math the kernel dispatches to. (multiroot never maps
+    onto the DMV chart -- its single-root zeroing is structural -- so
+    deptree_total_fast routes multiroot to the pure Eisner fill.)"""
+    from vlgae_tpu.struct import dmv as _dmv
+    from vlgae_tpu.struct.dmv import HASCHILD
+    from vlgae_tpu.struct.semirings import NEGINF
+
+    rng = np.random.default_rng(76)
+    ns = [3, 5, 2, 4]
+    arc, lengths = batch_arcs(rng, ns)
+    B, N1 = arc.shape[:2]
+    dec = jnp.zeros((B, N1, 2, 2, 2), jnp.float32)
+    attach = jnp.stack([arc, arc], axis=-1)
+    attach = attach.at[:, 0, :, HASCHILD].set(NEGINF)
+    for sr in (LogSemiring, MaxSemiring):
+        via_dmv = np.asarray(_dmv.dmv_partition(dec, attach, lengths, sr))
+        via_eisner = np.asarray(deptree_partition(arc, lengths, sr))
+        np.testing.assert_allclose(via_dmv, via_eisner, rtol=1e-4, atol=1e-5)

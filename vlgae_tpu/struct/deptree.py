@@ -49,8 +49,8 @@ def _diagonalize2(table, zero):
 
 
 def deptree_inside(arc, lengths, semiring: type[Semiring] = LogSemiring,
-                   remat: bool = False):
-    """Inside pass for the single-root projective dependency CRF.
+                   remat: bool = False, multiroot: bool = False):
+    """Inside pass for the projective dependency CRF.
 
     Args:
       arc: ``[B, N1, N1]`` arc log-potentials, ``arc[b, h, c]`` scores the
@@ -60,6 +60,11 @@ def deptree_inside(arc, lengths, semiring: type[Semiring] = LogSemiring,
         so max-semiring marginals give labeled argmax indicators.
       lengths: ``[B]`` word counts (excluding root).
       semiring: semiring class.
+      multiroot: when True, position 0 may head any number of words --
+        the single-root ``Cr[w, 0]`` zeroing is skipped, which is the
+        standard Eisner recursion (ref: deptree.py:70-72 gates the
+        zeroing on ``not multiroot``; deptree.py:80-135 is the legacy
+        multiroot-capable chart).
 
     Returns:
       ``(value, charts)`` with ``value`` stacked ``[s, B]``.
@@ -137,8 +142,11 @@ def deptree_inside(arc, lengths, semiring: type[Semiring] = LogSemiring,
         cl_new = S.sum(S.mask(S.mul(ilh_rs, cl_slab), tmask), axis=0)
         cr_new = S.sum(S.mask(S.mul(ir_shift, cre_rs), tmask), axis=0)
 
-        keep_root = (i_idx[None, :] != 0) | (lengths[:, None] == w)
-        cr_new = S.mask(cr_new, keep_root & valid_i)
+        if multiroot:
+            cr_new = S.mask(cr_new, valid_i)
+        else:
+            keep_root = (i_idx[None, :] != 0) | (lengths[:, None] == w)
+            cr_new = S.mask(cr_new, keep_root & valid_i)
         cl_new = S.mask(cl_new, valid_i)
 
         Cr = put(Cr, cr_new, 0)
@@ -161,18 +169,20 @@ def deptree_inside(arc, lengths, semiring: type[Semiring] = LogSemiring,
     return value, charts
 
 
-@functools.partial(jax.jit, static_argnames=("semiring",))
-def deptree_partition(arc, lengths, semiring: type[Semiring] = LogSemiring):
-    value, _ = deptree_inside(arc, lengths, semiring)
+@functools.partial(jax.jit, static_argnames=("semiring", "multiroot"))
+def deptree_partition(arc, lengths, semiring: type[Semiring] = LogSemiring,
+                      multiroot: bool = False):
+    value, _ = deptree_inside(arc, lengths, semiring, multiroot=multiroot)
     return semiring.unconvert(value)
 
 
-@functools.partial(jax.jit, static_argnames=("semiring",))
-def deptree_marginals(arc, lengths, semiring: type[Semiring] = LogSemiring):
+@functools.partial(jax.jit, static_argnames=("semiring", "multiroot"))
+def deptree_marginals(arc, lengths, semiring: type[Semiring] = LogSemiring,
+                      multiroot: bool = False):
     """d(total)/d(arc): marginals (Log) or argmax indicators (Max)."""
 
     def total(a):
-        return jnp.sum(deptree_partition(a, lengths, semiring))
+        return jnp.sum(deptree_partition(a, lengths, semiring, multiroot))
 
     return jax.grad(total)(arc)
 

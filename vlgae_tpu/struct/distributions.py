@@ -231,7 +231,8 @@ class DMV1o:
         return jax.grad(total)(self.attach)
 
 
-def deptree_total_fast(arc, lengths, kind: str = "log"):
+def deptree_total_fast(arc, lengths, kind: str = "log",
+                       multiroot: bool = False):
     """Backend-dispatched Eisner CRF total.
 
     On TPU this reuses the DMV Pallas kernels: an Eisner CRF is exactly
@@ -251,8 +252,13 @@ def deptree_total_fast(arc, lengths, kind: str = "log"):
     from ..ops import dmv_max_pallas, dmv_partition_pallas, pallas_available
     from ..ops.dmv_pallas import backward_fits_vmem
 
+    # multiroot cannot ride the DMV kernels: the DMV chart (and its
+    # Pallas port) bake in the single-root zeroing of root-headed
+    # sub-spans (struct/dmv.py step(), ref: dmv.py:63), so multiroot
+    # always takes the pure Eisner fill below.
     if (
-        not isinstance(arc, (tuple, list))
+        not multiroot
+        and not isinstance(arc, (tuple, list))
         and pallas_available()
         and backward_fits_vmem(arc.shape[1])
     ):
@@ -270,67 +276,76 @@ def deptree_total_fast(arc, lengths, kind: str = "log"):
         fn = dmv_partition_pallas if kind == "log" else dmv_max_pallas
         return fn(dec, attach, lengths)
     sr = LogSemiring if kind == "log" else MaxSemiring
-    return _deptree.deptree_partition(arc, lengths, sr)
+    return _deptree.deptree_partition(arc, lengths, sr, multiroot)
 
 
-def deptree_grads_fast(arc, lengths, kind: str = "log"):
+def deptree_grads_fast(arc, lengths, kind: str = "log",
+                       multiroot: bool = False):
     def total(a):
-        return jnp.sum(deptree_total_fast(a, lengths, kind))
+        return jnp.sum(deptree_total_fast(a, lengths, kind, multiroot))
 
     return jax.grad(total)(arc)
 
 
 class DependencyCRF:
-    """Single-root projective dependency CRF (ref: distributions.py:269-298)."""
+    """Projective dependency CRF (ref: distributions.py:269-298).
+
+    ``multiroot=False`` (the VLGAE default) allows exactly one child of
+    the root; ``multiroot=True`` is the standard Eisner recursion where
+    position 0 may head any number of words (ref: deptree.py:70-72,
+    80-135 -- the reference's legacy ``_dp_orig`` chart supports it).
+    """
 
     def __init__(self, log_potentials, lengths, multiroot: bool = False):
-        if multiroot:
-            raise NotImplementedError(
-                "multiroot=False is the only mode used by the reference "
-                "(ref: deptree.py:26-27)"
-            )
         self.arc = log_potentials
         self.lengths = lengths
+        self.multiroot = bool(multiroot)
 
     @property
     def partition(self):
-        return deptree_total_fast(self.arc, self.lengths, "log")
+        return deptree_total_fast(self.arc, self.lengths, "log", self.multiroot)
 
     @property
     def max(self):
-        return deptree_total_fast(self.arc, self.lengths, "max")
+        return deptree_total_fast(self.arc, self.lengths, "max", self.multiroot)
 
     @property
     def entropy(self):
-        return _deptree.deptree_partition(self.arc, self.lengths, EntropySemiring)
+        return _deptree.deptree_partition(
+            self.arc, self.lengths, EntropySemiring, self.multiroot
+        )
 
     def cross_entropy(self, other: "DependencyCRF"):
         return _deptree.deptree_partition(
-            [self.arc, other.arc], self.lengths, CrossEntropySemiring
+            [self.arc, other.arc], self.lengths, CrossEntropySemiring,
+            self.multiroot,
         )
 
     def kl(self, other: "DependencyCRF"):
         return _deptree.deptree_partition(
-            [self.arc, other.arc], self.lengths, KLDivergenceSemiring
+            [self.arc, other.arc], self.lengths, KLDivergenceSemiring,
+            self.multiroot,
         )
 
     def risk(self, cost):
         return _deptree.deptree_partition(
-            [self.arc, cost], self.lengths, RiskSemiring
+            [self.arc, cost], self.lengths, RiskSemiring, self.multiroot
         )
 
     @property
     def count(self):
         ones = jnp.where(self.arc <= NEGINF / 2, 0.0, 1.0)
-        return _deptree.deptree_partition(ones, self.lengths, StdSemiring)
+        return _deptree.deptree_partition(
+            ones, self.lengths, StdSemiring, self.multiroot
+        )
 
     @property
     def marginals(self):
-        return deptree_grads_fast(self.arc, self.lengths, "log")
+        return deptree_grads_fast(self.arc, self.lengths, "log", self.multiroot)
 
     @property
     def argmax(self):
-        return deptree_grads_fast(self.arc, self.lengths, "max")
+        return deptree_grads_fast(self.arc, self.lengths, "max", self.multiroot)
 
     @property
     def argmax_heads(self):
@@ -344,7 +359,9 @@ class DependencyCRF:
         from .sample import multi_sample_grads
 
         def total(a, S):
-            v, _ = _deptree.deptree_inside(a, self.lengths, S)
+            v, _ = _deptree.deptree_inside(
+                a, self.lengths, S, multiroot=self.multiroot
+            )
             return S.unconvert(v)
 
         return multi_sample_grads(total, self.arc, key, num_samples)
@@ -355,7 +372,9 @@ class DependencyCRF:
         S = GumbelCRFSemiring(key, temperature)
 
         def total(a):
-            v, _ = _deptree.deptree_inside(a, self.lengths, S)
+            v, _ = _deptree.deptree_inside(
+                a, self.lengths, S, multiroot=self.multiroot
+            )
             return jnp.sum(S.unconvert(v))
 
         return jax.grad(total)(self.arc)
@@ -363,7 +382,7 @@ class DependencyCRF:
     def kmax(self, k: int):
         """Scores of the k best trees, ``[k, B]``."""
         value, _ = _deptree.deptree_inside(
-            self.arc, self.lengths, KMaxSemiring(k)
+            self.arc, self.lengths, KMaxSemiring(k), multiroot=self.multiroot
         )
         return value
 
@@ -373,7 +392,9 @@ class DependencyCRF:
 
         def channel(i):
             def total(a):
-                v, _ = _deptree.deptree_inside(a, self.lengths, S)
+                v, _ = _deptree.deptree_inside(
+                    a, self.lengths, S, multiroot=self.multiroot
+                )
                 return jnp.sum(v[i])
 
             return jax.grad(total)(self.arc)
