@@ -890,3 +890,43 @@ def test_match_kernel_auto_defers_to_gspmd_on_data_mesh(monkeypatch):
     out = run()
     assert not calls, "auto picked the opaque kernel on a data mesh"
     assert out.get("match_reduced") is not None
+
+
+def test_einsum_fallback_oom_gate_fails_loudly(monkeypatch):
+    """When the matching falls back to the full [B,A,Q,V] einsum past
+    the byte budget it must raise a clear error naming the mode and
+    shape, not die as a raw XLA OOM (VERDICT r4 #6; at the reference's
+    word+alldep len-50 shapes the product is ~30 GB,
+    ref: src/model/joint.py:294-339). A tiny budget stands in for the
+    oversized shape so the test stays cheap."""
+    monkeypatch.setenv("VLGAE_MATCH_EINSUM_BUDGET_GB", "0.000001")
+    rng = np.random.default_rng(7)
+    B, L, P = 4, 5, 4
+    inputs = make_inputs(rng, B=B, L=L)
+    inputs["vis_box_feat"] = jnp.asarray(
+        rng.standard_normal((B, P, 10)), jnp.float32)
+    inputs["vis_box_mask"] = jnp.asarray(np.tile(np.arange(P) < 3, (B, 1)))
+    inputs["vis_available"] = jnp.ones(B, bool)
+    dep = build_ldndmv()
+    cfg = DependencyBoxRelConfig(
+        match_hidden=16, fuse_num_heads=2, fuse_dropout=0.0,
+        word_encoder_dropout=0.0, bf16_matmul=False, match_kernel="xla",
+    )
+    model = DependencyBoxRel(
+        cfg=cfg, dep_cfg=dep.cfg, dependency=dep,
+        vis_encoder=VisBoxRelSimpleEncoder(
+            n_hidden=24, img_feat=True, use_attr=True, use_img=False),
+        pos_for_obj=(2,), pos_for_rel=(3,), pos_for_attr=(4,),
+    )
+    params = model.init(jax.random.key(0), inputs)
+    with pytest.raises(ValueError) as exc:
+        model.apply(params, inputs, deterministic=False,
+                    rngs={"dropout": jax.random.key(1),
+                          "sample": jax.random.key(2)})
+    msg = str(exc.value)
+    assert "attention product" in msg and "language_factor_mode" in msg
+    assert "Q=" in msg and "V=" in msg and "train_match_chunk" in msg
+    # the real word+alldep shape trips the DEFAULT budget: at the
+    # recipe scale (B=64, len 50 -> Q=(50+1)^2, V=703, f32) the product
+    # is ~30 GiB vs the 4 GiB default
+    assert 64 * 64 * 51 * 51 * 703 * 4 > 4 * 2**30

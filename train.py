@@ -30,6 +30,19 @@ def _sweep_axes(overrides):
     fixed, axes = [], []
     for ov in overrides:
         key, _, val = ov.partition("=")
+        # hydra sweep functions we do NOT implement must fail loudly:
+        # comma-splitting `lr=range(1,5)` would silently sweep the two
+        # bogus "choices" `range(1` and `5)` (hydra's full sweep syntax:
+        # https://hydra.cc/docs/advanced/override_grammar/extended/)
+        stripped = val.strip()
+        for fn_tok in ("range(", "glob(", "interval(", "shuffle(",
+                       "sort(", "tag("):
+            if stripped.startswith(fn_tok):
+                raise ValueError(
+                    f"multirun: hydra sweep function {fn_tok!r} in "
+                    f"override {ov!r} is not supported; only comma-list "
+                    f"choice sweeps (key=a,b,c) are implemented"
+                )
         if ("," in val and val[:1] not in "[{'\""
                 and not val.endswith("]")):
             axes.append((key, val.split(",")))

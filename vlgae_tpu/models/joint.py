@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from bisect import bisect_left
 from itertools import accumulate
 from typing import Any, Dict, Optional, Tuple
@@ -548,10 +549,16 @@ class DependencyBoxRel(fnn.Module):
 
         # explicit sharded prototype: local text shard x all-gathered
         # vis factors (one gather per step instead of GSPMD replicating
-        # the opaque kernel); reduces to the plain kernel on one chip
-        if mk == "pallas_sharded" and CH <= 0 and match_maxes_sharded_fits(
-            B, V, D_feat, B, Q,
-        ):
+        # the opaque kernel); reduces to the plain kernel on one chip.
+        # Off-TPU this would run the kernel in INTERPRET mode (orders
+        # of magnitude slower than the einsum), so like 'auto' it falls
+        # through to the GSPMD-friendly einsum unless a test opts into
+        # interpret mode explicitly (VLGAE_MATCH_INTERPRET_SHARDED=1).
+        sharded_ok = on_tpu or bool(
+            os.environ.get("VLGAE_MATCH_INTERPRET_SHARDED")
+        )
+        if (mk == "pallas_sharded" and CH <= 0 and sharded_ok
+                and match_maxes_sharded_fits(B, V, D_feat, B, Q)):
             vb, tb = _biases()
             logit, logit_v = match_maxes_pallas_sharded(
                 vis_feat.astype(dt), txt_feat.astype(dt), not on_tpu,
@@ -581,6 +588,29 @@ class DependencyBoxRel(fnn.Module):
                 vb, tb,
             )
             return logit, self._expand_rel_tri(logit_v, maps)
+        if CH <= 0:
+            # loud budget gate: the full einsum materializes [B, A, Q, V]
+            # (twice through XLA's max-autodiff). word+alldep's (L+1)^2
+            # queries at len 50 put this at ~30 GB — that must fail with
+            # a message naming the mode and the shape, not an opaque XLA
+            # OOM (ref: src/model/joint.py:294-339 marks the mode NOT
+            # TESTED; we match the capability but not the crash).
+            itemsize = 2 if self.cfg.bf16_matmul else 4
+            est_bytes = B * B * Q * V * itemsize
+            budget = int(float(os.environ.get(
+                "VLGAE_MATCH_EINSUM_BUDGET_GB", "4")) * 2**30)
+            if est_bytes > budget:
+                raise ValueError(
+                    f"matching fallback would materialize a full "
+                    f"[B={B}, A={B}, Q={Q}, V={V}] attention product "
+                    f"(~{est_bytes / 2**30:.1f} GiB > budget "
+                    f"{budget / 2**30:.1f} GiB) under "
+                    f"language_factor_mode="
+                    f"{self.cfg.language_factor_mode!r} with "
+                    f"match_kernel={mk!r}; set model.train_match_chunk "
+                    f"to stream the factor axis, reduce max_len/batch, "
+                    f"or raise VLGAE_MATCH_EINSUM_BUDGET_GB"
+                )
         ones_v = jnp.ones((B, V, 1), dt)
         ones_q = jnp.ones((B, Q, 1), dt)
         vis_b = jnp.concatenate(

@@ -49,10 +49,13 @@ sparse [V, blkQ*B] matrix W and both gradients are two more MXU GEMMs
 per step (``dvis_a += W @ txt_blk``, accumulated over q-blocks;
 ``dtxt[qblock] += W^T @ vis_a``, accumulated over images into a
 VMEM-resident full [Qpad*B, D] block) — no [B,A,Q,V] tensor exists in
-either pass. The biases shift every candidate of a (b, a, q) row (or
-(b, a, v) column) equally, so they never change the winner routing and
-the backward takes no bias operands; bias gradients are zero (masks
-are data, not parameters — callers pass them under stop_gradient).
+either pass. The biases DO affect routing (``vis_bias`` can move the
+argmax-over-v winner; ``txt_bias`` shifts whole rows), but routing is
+captured once in the saved winner indices, so the backward takes no
+bias operands. Bias gradients are defined as zero: masks are data,
+not parameters — ``match_maxes_pallas`` enforces that contract by
+stopping gradients through both biases, so a caller passing a learned
+bias fails loudly (no grad) instead of silently getting zeros.
 
 Compute dtype is bf16 with f32 accumulation (matching the XLA path's
 ``bf16_matmul``).
@@ -84,17 +87,33 @@ _VMEM_BUDGET = 56 * 1024 * 1024
 # stack-allocates in VMEM, ~16.04MB at Q=101/V=703/B=64) fails to
 # compile even though the per-step blocks fit — measured on v5e
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+def _pow2_env(name, default):
+    """Read a tuning override; it must be a power of two >= 1, because
+    _plan's doubling walk assumes the cap is on its lattice (a stray
+    value would let blkQ overshoot the configured maximum)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    val = int(raw)
+    if val < 1 or val & (val - 1):
+        raise ValueError(
+            f"{name}={raw!r}: must be a power of two >= 1 "
+            f"(see scripts/derive_kernel_gates.py)"
+        )
+    return val
+
+
 # cap on the q-block size (the tree reduction and the bwd tiling cost
 # log2(blkQ) full-width passes; 64 keeps blocks inside VMEM at scale).
 # v5e-derived; override with VLGAE_MATCH_MAX_BLK_Q (power of two) when
 # re-deriving on other parts — see scripts/derive_kernel_gates.py
-_MAX_BLK_Q = int(os.environ.get("VLGAE_MATCH_MAX_BLK_Q", "64"))
+_MAX_BLK_Q = _pow2_env("VLGAE_MATCH_MAX_BLK_Q", 64)
 # preferred q-block width in lanes: the recipe-shape cap sweep on v5e
 # (A=B=64/Q=101/V=703/D=130; NOTES_ROUND4.md) measured fwd+bwd 5.36 ms
 # at 4096-lane blocks, 4.78 at 1024, 4.76 at 512, 5.33 at 256 — small
 # blocks cut tail padding and tree depth, but below ~4 lane-tiles the
 # extra grid steps win. Override for re-derivation on other parts.
-_TARGET_BLK_LANES = int(os.environ.get("VLGAE_MATCH_BLK_LANES", "512"))
+_TARGET_BLK_LANES = _pow2_env("VLGAE_MATCH_BLK_LANES", 512)
 
 _NEG = float("-inf")
 
@@ -482,7 +501,9 @@ def _match_bwd(interpret, res, g):
         .astype(txt_b.dtype)
     )
     # masks are data, not parameters: bias grads are zero by contract
-    # (callers pass mask-derived biases under stop_gradient)
+    # (match_maxes_pallas stop_gradients both biases so the contract
+    # is unescapable; routing through the biased winners is already
+    # captured in the saved indices)
     return (dvis_out, dtxt_out, jnp.zeros((A, V), jnp.float32),
             jnp.zeros((B, Q), jnp.float32))
 
@@ -501,6 +522,11 @@ def match_maxes_pallas(vis_b, txt_b, interpret=False, vis_bias=None,
         vis_bias = jnp.zeros((A, V), jnp.float32)
     if txt_bias is None:
         txt_bias = jnp.zeros((B, Q), jnp.float32)
+    # biases are visibility masks (data, not parameters); the custom
+    # VJP returns zero for them, so make the no-grad contract explicit
+    # and unescapable for callers passing learned tensors
+    vis_bias = lax.stop_gradient(vis_bias)
+    txt_bias = lax.stop_gradient(txt_bias)
     return _match_maxes_core(vis_b, txt_b, vis_bias, txt_bias, interpret)
 
 
