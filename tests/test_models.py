@@ -215,7 +215,10 @@ def test_joint_forward_shapes(joint_setup):
     P = inputs["vis_box_feat"].shape[1]
     n_factors = P + P * P + P + 1  # box + rel + attr + img
     Q = 2 * (L + 1)  # words + arcs
-    assert out["match_logit"].shape == (B, B, Q, n_factors)
+    # map-free contract (BASELINE #4): eval carries the reduced
+    # [B, A, Q] maxima, never a [B, A, Q, V] map
+    assert out["match_logit"].shape == (B, B, Q)
+    assert out["match_reduced"][1].shape == (B, B, n_factors)
     assert out["merged_attach"].shape == (B, L + 1, L + 1, 2)
 
 
@@ -396,7 +399,9 @@ def test_vit_patch_encoder_joint():
     params = model.init(jax.random.key(0), inputs)
     out = model.apply(params, inputs)
     n_factors = P + P * P + P + 1
-    assert out["match_logit"].shape == (B, B, 2 * (L + 1), n_factors)
+    # map-free eval contract: reduced [B, A, Q] maxima + [B, A, V]
+    assert out["match_logit"].shape == (B, B, 2 * (L + 1))
+    assert out["match_reduced"][1].shape == (B, B, n_factors)
 
     def loss_fn(p):
         o = model.apply(p, inputs)
@@ -615,8 +620,15 @@ def test_reduced_training_matching_matches_full_attmap():
     out_eval = model.apply(params, inputs, deterministic=True)
     assert out_train.get("match_reduced") is not None
     assert out_train["match_logit"].ndim == 3  # reduced [B, A, Q]
-    assert out_eval["match_logit"].ndim == 4   # full [B, A, Q, V]
-    assert out_eval.get("match_reduced") is None
+    # the eval path is now map-free too (BASELINE #4); reconstruct the
+    # legacy full [B, A, Q, V] map explicitly as the oracle
+    assert out_eval["match_logit"].ndim == 3
+    attmap = model.apply(params, out_eval["vis_packed"],
+                         out_eval["txt_packed"],
+                         method=model.gather_logit)
+    assert attmap.ndim == 4
+    out_eval = {k: v for k, v in out_eval.items() if k != "match_reduced"}
+    out_eval["match_logit"] = attmap
 
     loss_t, aux_t = model.apply(
         params, out_train, None, inputs, jnp.zeros(()), {}, 1.0,
@@ -631,12 +643,18 @@ def test_reduced_training_matching_matches_full_attmap():
         assert float(aux_t[k]) == pytest.approx(float(aux_e[k]), rel=1e-5)
 
     # gradients agree too (the folded-mask max routes identically)
-    def tloss(p, det):
+    def tloss(p, fullmap):
         o = model.apply(
-            p, inputs, deterministic=det,
-            rngs={} if det else {"dropout": jax.random.key(1),
-                                 "sample": jax.random.key(2)},
+            p, inputs, deterministic=False,
+            rngs={"dropout": jax.random.key(1),
+                  "sample": jax.random.key(2)},
         )
+        if fullmap:  # legacy full-attention-map formulation as oracle
+            o = {k: v for k, v in o.items() if k != "match_reduced"}
+            o["match_logit"] = model.apply(
+                p, o["vis_packed"], o["txt_packed"],
+                method=model.gather_logit,
+            )
         t, _ = model.apply(p, o, None, inputs, jnp.zeros(()), {}, 1.0,
                            method=model.loss)
         return t
@@ -679,18 +697,8 @@ def test_reduced_training_matching_matches_full_attmap():
                            "sample": jax.random.key(2)})
     assert lt.get("match_reduced") is not None
 
-    def tloss_tf(p, det):
-        o = model.apply(
-            p, inputs, deterministic=det,
-            rngs={} if det else {"dropout": jax.random.key(1),
-                                 "sample": jax.random.key(2)},
-        )
-        t, _ = model.apply(p, o, None, inputs, jnp.zeros(()), {}, 1.0,
-                           method=model.loss)
-        return t
-
-    g_t = jax.grad(lambda p: tloss_tf(p, False))(params_tf)
-    g_e = jax.grad(lambda p: tloss_tf(p, True))(params_tf)
+    g_t = jax.grad(lambda p: tloss(p, False))(params_tf)
+    g_e = jax.grad(lambda p: tloss(p, True))(params_tf)
     flat_t = jax.tree_util.tree_leaves_with_path(g_t)
     flat_e = jax.tree_util.tree_leaves(g_e)
     for (path, a), b in zip(flat_t, flat_e):
@@ -930,3 +938,55 @@ def test_einsum_fallback_oom_gate_fails_loudly(monkeypatch):
     # recipe scale (B=64, len 50 -> Q=(50+1)^2, V=703, f32) the product
     # is ~30 GiB vs the 4 GiB default
     assert 64 * 64 * 51 * 51 * 703 * 4 > 4 * 2**30
+
+
+@pytest.mark.slow
+def test_mapfree_eval_decode_matches_fullmap(joint_setup):
+    """BASELINE #4 / VERDICT r4 #2: the eval decode through the reduced
+    outputs (diagonal [B,Q,V] via _diag_att + [B,A,Q] cross-image
+    maxima) must be BIT-IDENTICAL to the legacy full-[B,A,Q,V]-map
+    decode in the f32 config — same top-5 indices, same txt_to_img,
+    same post-edit logits (ref: src/model/joint.py:506-629)."""
+    model, params, inputs, out = joint_setup
+    assert out["match_logit"].ndim == 3  # new reduced eval path
+
+    # legacy full-map decode, reconstructed explicitly
+    vis, txt = out["vis_packed"], out["txt_packed"]
+    attmap = model.apply(params, vis, txt, method=model.gather_logit)
+    out_full = dict(out)
+    out_full["match_logit"] = attmap
+    out_full.pop("match_reduced", None)
+
+    dec_new = model.apply(params, out, inputs,
+                          method=model.decode_grounding_device)
+    dec_old = model.apply(params, out_full, inputs,
+                          method=model.decode_grounding_device)
+    np.testing.assert_array_equal(
+        np.asarray(dec_new["txt_to_factor_idx"]),
+        np.asarray(dec_old["txt_to_factor_idx"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec_new["txt_to_img"]),
+        np.asarray(dec_old["txt_to_img"]),
+    )
+    log_new = model.apply(params, out, inputs,
+                          method=model.decode_grounding_logits)
+    log_old = model.apply(params, out_full, inputs,
+                          method=model.decode_grounding_logits)
+    np.testing.assert_array_equal(np.asarray(log_new),
+                                  np.asarray(log_old))
+
+    # the eval forward graph must contain no [B, A, Q, V]-sized tensor
+    B, L = inputs["token"].shape
+    P = inputs["vis_box_feat"].shape[1]
+    V = P + P * P + P + 1
+    Q = 2 * (L + 1)
+    jaxpr = jax.make_jaxpr(
+        lambda p: model.apply(p, inputs, deterministic=True)
+    )(params)
+    banned = {(B, B, Q, V), (B, B, V, Q)}
+    for eqn in jaxpr.jaxpr.eqns:
+        for var in eqn.outvars:
+            assert tuple(getattr(var.aval, "shape", ())) not in banned, (
+                f"full attention map materialized by {eqn.primitive}"
+            )

@@ -174,6 +174,13 @@ class DependencyBoxRelConfig:
     # don't pay for the avoided [B,A,Q,V] materialization at this size.
     # Kept as a tuning knob for larger factor counts; 0 is fastest here.
     train_match_chunk: int = 0
+    # factor-chunk size for the EVAL matching reduction when no fused
+    # kernel applies: the decode is map-free by contract (BASELINE #4),
+    # so instead of the full [B,A,Q,V] einsum the factor axis is
+    # streamed in chunks of this size (forward only — eval never
+    # differentiates, so the chunked stream's backward caveat above
+    # does not apply)
+    eval_match_chunk: int = 128
     # training matching-maxes backend: 'pallas' fuses the per-image
     # GEMM + both max reductions in VMEM with a one-winner argmax-routed
     # backward (torch .max semantics; always bf16 compute with f32
@@ -233,6 +240,12 @@ class DependencyBoxRelConfig:
                 "B_img] caption logits of gather_logit_mode='reduced' "
                 "(ref: joint.py:493-499); 'simple' produces a 4-D "
                 "attention map the caption CE cannot use"
+            )
+        if self.eval_match_chunk <= 0:
+            raise ValueError(
+                "eval_match_chunk must be positive: the eval decode is "
+                "map-free by contract and needs a chunk size for the "
+                "streamed fallback"
             )
         if (self.match_kernel in ("pallas", "pallas_sharded")
                 and self.train_match_chunk > 0):
@@ -478,9 +491,9 @@ class DependencyBoxRel(fnn.Module):
             inputs, encoded, lang_score, mask, deterministic
         )
 
-    # -- reduced training matching (never materializes [B,B,Q,V]) -----------
-    def gather_logit_train(self, vis, txt):
-        """Training-path pairwise matching WITHOUT materializing the
+    # -- reduced matching (never materializes [B,B,Q,V]) --------------------
+    def gather_logit_train(self, vis, txt, eval_mode: bool = False):
+        """Pairwise matching WITHOUT materializing the
         [B_txt, B_img, Q, V] attention map.
 
         The profile shows the full-map materialization (plus its mask
@@ -496,8 +509,13 @@ class DependencyBoxRel(fnn.Module):
         The POS-prior penalty only touches the diagonal (own-image)
         entries, so the loss recomputes just the [B, Q, V] diagonal
         block (see loss_grounding_factor_ce). Semantics match
-        ref: joint.py:406-499 exactly; only the evaluation/decode path
-        still builds the full map (it needs per-(q, v) scores).
+        ref: joint.py:406-499 exactly. With ``eval_mode=True`` the
+        decode path uses this too (BASELINE #4 batched joint decode):
+        the grounding decode needs only the diagonal [B, Q, V] block
+        (:meth:`_diag_att`) plus the cross-image [B, A, Q] maxima
+        computed here, so when neither fused-kernel path applies the
+        factor axis is force-streamed in chunks — eval never allocates
+        a [B, A, Q, V] tensor at any batch scale.
 
         Relation factors are COMPACTED to the strict upper triangle
         before the product: the pairwise-mean relation MLP gives
@@ -580,6 +598,12 @@ class DependencyBoxRel(fnn.Module):
         # (e.g. word+alldep's (L+1)^2 queries, odd tiny batches). The
         # paper recipe's len-50 shapes (Q ~ 101) fit via q-blocking.
         use_pallas = use_pallas and match_maxes_fits(B, V, D_feat, B, Q)
+        if eval_mode and not use_pallas and CH <= 0:
+            # map-free decode contract: stream the factor axis instead
+            # of the full einsum. Chunked f32 maxes are bit-identical
+            # to the full-map reduction (max is exact; the per-element
+            # dot products are the same contraction).
+            CH = min(V, self.cfg.eval_match_chunk)
         if use_pallas and CH <= 0:
             vb, tb = _biases()
             logit, logit_v = match_maxes_pallas(
@@ -806,11 +830,16 @@ class DependencyBoxRel(fnn.Module):
                 # fused passes; loss_nll and decode reuse them instead
                 # of re-running the identical chart DP
                 out["dep_reuse"] = dep_reuse
-            if (not deterministic
-                    and cfg.gather_logit_mode == "simple"
+            if (cfg.gather_logit_mode == "simple"
                     and cfg.loss_grounding_mode == "factor|ce"):
-                # training: reduced matching, no [B,B,Q,V] materialized
-                out["match_reduced"] = self.gather_logit_train(vis, txt)
+                # reduced matching, no [B,B,Q,V] materialized — for
+                # training AND eval (BASELINE #4: the batched joint
+                # decode needs only the [B,A,Q] cross-image maxima plus
+                # the diagonal [B,Q,V] block, see
+                # decode_grounding_device / decode_grounding_logits)
+                out["match_reduced"] = self.gather_logit_train(
+                    vis, txt, eval_mode=deterministic
+                )
                 out["match_logit"] = out["match_reduced"][0]  # [B,A,Q]
             else:
                 out["match_logit"] = self.gather_logit(vis, txt)
@@ -968,12 +997,15 @@ class DependencyBoxRel(fnn.Module):
     # -- grounding decode (device part; ref: joint.py:506-629) ----------------
     def decode_grounding_device(self, out, inputs, topk: int = 5):
         cfg = self.cfg
-        match_logit = out["match_logit"]  # [B, A, Q, V] (or [B, A] reduced)
+        # [B, A, Q] reduced maxima (map-free path), [B, A, Q, V] full
+        # map (legacy/eval-parity path), or [B, A] reduced gather
+        match_logit = out["match_logit"]
         if cfg.decode_grounding_mode == "on_img":
             # per-caption best image only; the ALIGN column is a
             # placeholder in this mode (ref: joint.py:506-510,633-638)
             return {"txt_to_img": jnp.argmax(match_logit, axis=1)}
-        factor2img = match_logit.max(-1).argmax(1)  # [B, Q]
+        maxatt = match_logit if match_logit.ndim == 3 else match_logit.max(-1)
+        factor2img = maxatt.argmax(1)  # [B, Q]
         logit = self.decode_grounding_logits(out, inputs)
         _, top_idx = jax.lax.top_k(logit, topk)  # [B, Q, k]
         return {
@@ -987,7 +1019,13 @@ class DependencyBoxRel(fnn.Module):
         cfg = self.cfg
         match_logit = out["match_logit"]
         _, vis_mask, vis_split = out["vis_packed"][:3]
-        logit = jnp.einsum("bbqv->bqv", match_logit)  # [B, Q, V]
+        if match_logit.ndim == 3:
+            # map-free path: only the own-image diagonal block is
+            # needed; recompute it directly (one [B,Q,V] batched GEMM)
+            # instead of slicing a [B,A,Q,V] map that never existed
+            logit = self._diag_att(out, inputs, with_pen=False)
+        else:
+            logit = jnp.einsum("bbqv->bqv", match_logit)  # [B, Q, V]
 
         # deep re-mask at the reference's -INF = -1e20
         # (ref: src/__init__.py:110-121): the matching fill here is a
