@@ -23,7 +23,8 @@ from .ldndmv import (
     loss_nll,
 )
 from .text_encoder import BlankEncoder, MLPEncoder, MultiEncoder, RNNEncoder
-from .vis_encoder import VisBoxRelSimpleEncoder, VisViTPatchEncoder, patch_boxes
+from .vis_encoder import (VisBoxRelSimpleEncoder, VisViTPatchEncoder,
+                          graft_vit_params, load_vit_params, patch_boxes)
 from . import dmv_model
 
 __all__ = [
@@ -48,6 +49,8 @@ __all__ = [
     "MultiEncoder",
     "VisBoxRelSimpleEncoder",
     "VisViTPatchEncoder",
+    "graft_vit_params",
+    "load_vit_params",
     "patch_boxes",
     "dmv_model",
     "km_init",

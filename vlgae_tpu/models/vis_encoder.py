@@ -165,6 +165,119 @@ class VisViTPatchEncoder(fnn.Module):
                          rel_pairs=rel_pairs)
 
 
+def load_vit_params(path: str, vit_config) -> dict:
+    """Load pretrained ViT backbone weights for :class:`VisViTPatchEncoder`
+    (the "CLIP/ViT swap", BASELINE config #5; config key
+    ``vis_encoder.vit_weights``).
+
+    Accepted formats:
+
+    - a HF checkpoint **directory** (``config.json`` +
+      ``flax_model.msgpack`` / ``model.safetensors`` / torch
+      ``pytorch_model.bin`` — transformers handles the conversion,
+      torch-cpu is available);
+    - a flax **msgpack** file (``flax.serialization.msgpack_restore``)
+      holding the ``FlaxViTModule`` param tree, optionally wrapped in
+      ``{'params': ...}``;
+    - an **npz** file with '/'-joined flattened param paths.
+
+    The tree is validated against the module's own ``jax.eval_shape``
+    init: every parameter the encoder expects must be present with the
+    exact shape — missing or mismatched entries raise a ``ValueError``
+    naming the offending paths (extra entries, e.g. a pooler head, are
+    ignored). Returns the validated subtree ready for
+    :func:`graft_vit_params`.
+    """
+    import os
+
+    from flax import serialization, traverse_util
+    from transformers.models.vit.modeling_flax_vit import FlaxViTModule
+
+    if os.path.isdir(path):
+        from transformers import FlaxViTModel, ViTConfig
+
+        disk_cfg = ViTConfig.from_pretrained(path)
+        for key in ("hidden_size", "num_hidden_layers",
+                    "num_attention_heads", "intermediate_size",
+                    "image_size", "patch_size"):
+            want, got = getattr(vit_config, key), getattr(disk_cfg, key)
+            if want != got:
+                raise ValueError(
+                    f"vit_weights checkpoint at {path} has {key}={got} "
+                    f"but the recipe's vis_encoder expects {key}={want};"
+                    " align vis_encoder.vit_* with the checkpoint"
+                )
+        try:
+            hf = FlaxViTModel.from_pretrained(path)
+        except (OSError, EnvironmentError):
+            hf = FlaxViTModel.from_pretrained(path, from_pt=True)
+        tree = jax.tree.map(np.asarray, dict(hf.params))
+    elif path.endswith(".npz"):
+        with np.load(path) as z:
+            flat = {tuple(k.split("/")): z[k] for k in z.files}
+        tree = traverse_util.unflatten_dict(flat)
+    else:
+        with open(path, "rb") as f:
+            tree = serialization.msgpack_restore(f.read())
+    if isinstance(tree, dict) and set(tree) == {"params"}:
+        tree = tree["params"]
+
+    module = FlaxViTModule(vit_config, dtype=jnp.float32,
+                           add_pooling_layer=False)
+    pixels = jax.ShapeDtypeStruct(
+        (1, vit_config.image_size, vit_config.image_size, 3), jnp.float32
+    )
+    want = jax.eval_shape(
+        lambda px: module.init(jax.random.key(0), pixel_values=px), pixels
+    )["params"]
+    want_flat = traverse_util.flatten_dict(want)
+    have_flat = traverse_util.flatten_dict(tree)
+    missing = [k for k in want_flat if k not in have_flat]
+    bad = [
+        (k, tuple(np.shape(have_flat[k])), tuple(want_flat[k].shape))
+        for k in want_flat
+        if k in have_flat and tuple(np.shape(have_flat[k]))
+        != tuple(want_flat[k].shape)
+    ]
+    if missing or bad:
+        msgs = ["/".join(map(str, k)) + " MISSING" for k in missing[:8]]
+        msgs += [
+            "/".join(map(str, k)) + f" has shape {h}, expected {w}"
+            for k, h, w in bad[:8]
+        ]
+        raise ValueError(
+            f"vit_weights at {path} do not match the ViT the recipe "
+            "builds: " + "; ".join(msgs)
+        )
+    cast = {
+        k: np.asarray(have_flat[k], want_flat[k].dtype)
+        for k in want_flat
+    }
+    return traverse_util.unflatten_dict(cast)
+
+
+def graft_vit_params(params, vit_tree, scope=("params", "vis_encoder",
+                                              "vit")):
+    """Return ``params`` with the ViT backbone subtree replaced by the
+    pretrained ``vit_tree`` (from :func:`load_vit_params`). ``scope`` is
+    the flax path of the backbone inside the full model's variables
+    (``DependencyBoxRel.vis_encoder`` → ``VisViTPatchEncoder.vit``)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    prefix = tuple(scope)
+    if not any(k[: len(prefix)] == prefix for k in flat):
+        raise ValueError(
+            f"no parameters under {'/'.join(prefix)}: vit_weights was "
+            "set but the model has no ViT backbone there (is the "
+            "vis_encoder a VisViTPatchEncoder?)"
+        )
+    kept = {k: v for k, v in flat.items() if k[: len(prefix)] != prefix}
+    for k, v in traverse_util.flatten_dict(vit_tree).items():
+        kept[prefix + k] = jnp.asarray(v)
+    return traverse_util.unflatten_dict(kept)
+
+
 def patch_boxes(image_size: int, patch_size: int) -> np.ndarray:
     """[n_patches, 4] (x1, y1, x2, y2) rectangles of a ViT patch grid, in
     row-major patch order (matching the ViT sequence order); use these as

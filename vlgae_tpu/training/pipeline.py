@@ -220,6 +220,23 @@ class Pipeline:
         params = jax.jit(self.model.init)(
             {"params": rng, "dropout": rng, "sample": rng}, inputs
         )
+        # pretrained ViT backbone for the CLIP/ViT swap (BASELINE #5):
+        # graft checkpoint weights over the random init
+        # (vis_encoder.vit_weights -> load_vit_params/graft_vit_params)
+        vit_weights = (self.cfg.get("vis_encoder") or {}).get("vit_weights")
+        if vit_weights:
+            from ..models.vis_encoder import (graft_vit_params,
+                                              load_vit_params)
+
+            vis = getattr(self.model, "vis_encoder", None)
+            if vis is None or not hasattr(vis, "vit_config"):
+                raise ValueError(
+                    "vis_encoder.vit_weights is set but the model's "
+                    "vis_encoder is not a VisViTPatchEncoder"
+                )
+            params = graft_vit_params(
+                params, load_vit_params(str(vit_weights), vis.vit_config)
+            )
         n_batches = max(
             1, len(self.dm.datasets.get("train", [1]))
             // max(self.cfg.get("datamodule", {})
@@ -233,6 +250,13 @@ class Pipeline:
         for item in emb.items:
             if item.kind == "transformer" and not item.requires_grad:
                 frozen.append(rf"\b{item.name}\b.*bert")
+        # a frozen ViT backbone must be frozen in the OPTIMIZER too, not
+        # only stop_gradient'ed: weight decay / non-Adam transforms would
+        # otherwise still move pretrained weights on exactly-zero grads
+        vis = getattr(self.model, "vis_encoder", None)
+        if (vis is not None and hasattr(vis, "vit_config")
+                and not vis.requires_grad):
+            frozen.append(r"vis_encoder\.vit\b")
         tx, schedule, plateau = build_optimizer(
             params,
             self.cfg.get("optimizer", {"args": {"lr": 1e-3}}),
