@@ -266,31 +266,49 @@ def run_dep_reuse_leg(Bsz, L, P, bf16, seed):
 
 
 def main():
-    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    # VLGAE_SWEEP_LEGS: comma list of leg families to run (default all).
+    # Families: dmv, fallback, match, matchbias, sharded, depreuse.
+    # Lets a fresh window resume after a tunnel stall without repaying
+    # the already-passed legs.
+    want = os.environ.get("VLGAE_SWEEP_LEGS", "")
+    sel = set(filter(None, want.split(","))) or {
+        "dmv", "fallback", "match", "matchbias", "sharded", "depreuse"}
+    print("backend:", jax.default_backend(), jax.devices(),
+          "legs:", sorted(sel), flush=True)
     t0 = time.time()
-    for N, B, seed in [(10, 64, 0), (30, 64, 1), (47, 32, 2), (48, 32, 3),
-                       (64, 32, 4)]:
-        run_dmv_leg(N, B, seed)
-        print(f"  ... leg N={N} done at {time.time()-t0:.0f}s", flush=True)
-    for N, B, seed in [(30, 64, 5), (64, 16, 6)]:
-        run_fallback_leg(N, B, seed)
-    for A, B, Q, V, D, seed in [(8, 8, 10, 36, 64, 7), (16, 16, 12, 100, 128, 8)]:
-        run_match_leg(A, B, Q, V, D, seed)
+    if "dmv" in sel:
+        for N, B, seed in [(10, 64, 0), (30, 64, 1), (47, 32, 2),
+                           (48, 32, 3), (64, 32, 4)]:
+            run_dmv_leg(N, B, seed)
+            print(f"  ... leg N={N} done at {time.time()-t0:.0f}s",
+                  flush=True)
+    if "fallback" in sel:
+        for N, B, seed in [(30, 64, 5), (64, 16, 6)]:
+            run_fallback_leg(N, B, seed)
+    if "match" in sel:
+        for A, B, Q, V, D, seed in [(8, 8, 10, 36, 64, 7),
+                                    (16, 16, 12, 100, 128, 8)]:
+            run_match_leg(A, B, Q, V, D, seed)
+            print(f"  ... match A{A} done at {time.time()-t0:.0f}s",
+                  flush=True)
     # round-4/5 surfaces -----------------------------------------------------
-    for A, B, Q, V, D, seed, label in [
-        (64, 64, 102, 703, 128, 9, "recipe"),     # len-50 paper recipe
-        (64, 64, 130, 703, 128, 10, "stretch"),   # len-64 stretch queries
-        (32, 32, 62, 1369, 128, 11, "soak"),      # 36-box full factor set
-    ]:
-        run_match_bias_leg(A, B, Q, V, D, seed, label)
-        print(f"  ... match+bias {label} done at {time.time()-t0:.0f}s",
-              flush=True)
-    run_sharded_reduction_leg(16, 16, 22, 100, 128, 12)
-    for Bsz, L, P, bf16, seed in [(16, 12, 12, False, 13),
-                                  (16, 12, 12, True, 14)]:
-        run_dep_reuse_leg(Bsz, L, P, bf16, seed)
-        print(f"  ... dep_reuse bf16={bf16} done at {time.time()-t0:.0f}s",
-              flush=True)
+    if "matchbias" in sel:
+        for A, B, Q, V, D, seed, label in [
+            (64, 64, 102, 703, 128, 9, "recipe"),     # len-50 paper recipe
+            (64, 64, 130, 703, 128, 10, "stretch"),   # len-64 stretch queries
+            (32, 32, 62, 1369, 128, 11, "soak"),      # 36-box full factor set
+        ]:
+            run_match_bias_leg(A, B, Q, V, D, seed, label)
+            print(f"  ... match+bias {label} done at {time.time()-t0:.0f}s",
+                  flush=True)
+    if "sharded" in sel:
+        run_sharded_reduction_leg(16, 16, 22, 100, 128, 12)
+    if "depreuse" in sel:
+        for Bsz, L, P, bf16, seed in [(16, 12, 12, False, 13),
+                                      (16, 12, 12, True, 14)]:
+            run_dep_reuse_leg(Bsz, L, P, bf16, seed)
+            print(f"  ... dep_reuse bf16={bf16} done at "
+                  f"{time.time()-t0:.0f}s", flush=True)
     print(f"total {time.time()-t0:.0f}s", flush=True)
     if FAILS:
         print("FAILED LEGS:", FAILS, flush=True)
