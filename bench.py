@@ -486,7 +486,10 @@ def bench_joint_decode(B=64, L=50, P=36, iters=8, bf16=False):
     VERDICT r4 #2): deterministic forward + on_factor grounding decode
     (map-free: the diagonal [B,Q,V] block + [B,A,Q] cross-image maxima
     — no [B,A,Q,V] tensor anywhere) + MBR dependency decode. f32 by
-    default (the shipped eval configuration). Sentences/sec."""
+    default: decode throughput is precision-insensitive (measured
+    same-window on v5e: f32 8.64 ms vs bf16 8.86 ms at recipe scale —
+    the chart DPs dominate eval, not the matching contraction).
+    Sentences/sec."""
     import jax
     import jax.numpy as jnp
 
