@@ -89,8 +89,8 @@ def main():
         import vlgae_tpu.models.joint as _joint
         _orig_gl = _joint.DependencyBoxRel.gather_logit_train
 
-        def _patched(self, vis, txt):
-            l, lv = _orig_gl(self, vis, txt)
+        def _patched(self, vis, txt, eval_mode=False):
+            l, lv = _orig_gl(self, vis, txt, eval_mode=eval_mode)
             return jax.lax.stop_gradient(l), jax.lax.stop_gradient(lv)
 
         _joint.DependencyBoxRel.gather_logit_train = _patched
