@@ -13,6 +13,7 @@ from .dmv_pallas import (
     set_data_parallel_mesh,
 )
 from .match_pallas import match_maxes_pallas
+from .topk import exact_top_k
 
 
 def pallas_available() -> bool:
@@ -31,6 +32,7 @@ __all__ = [
     "dmv_partition_pallas_interpret",
     "dmv_max_pallas_interpret",
     "data_parallel_degree",
+    "exact_top_k",
     "match_maxes_pallas",
     "pallas_available",
     "set_data_parallel_mesh",
