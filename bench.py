@@ -486,10 +486,10 @@ def bench_joint_decode(B=64, L=50, P=36, iters=8, bf16=False):
     VERDICT r4 #2): deterministic forward + on_factor grounding decode
     (map-free: the diagonal [B,Q,V] block + [B,A,Q] cross-image maxima
     — no [B,A,Q,V] tensor anywhere) + MBR dependency decode. f32 by
-    default: decode throughput is precision-insensitive (measured
-    same-window on v5e: f32 8.64 ms vs bf16 8.86 ms at recipe scale —
-    the chart DPs dominate eval, not the matching contraction).
-    Sentences/sec."""
+    default: the streamed f32 eval matching edges out the bf16 fused
+    kernel here (measured same-window on v5e post exact_top_k: f32
+    3.27 ms vs bf16 3.62 ms at recipe scale — the kernel's two-axis
+    maxima do extra work eval doesn't need). Sentences/sec."""
     import jax
     import jax.numpy as jnp
 
